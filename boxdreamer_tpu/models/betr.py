@@ -1,0 +1,171 @@
+"""BETR — Box Estimation TRansformer (Flax, TPU-native).
+
+Functional re-design of the reference decoder
+(src/models/modules/backbone/betr.py:11-437): patchifies per-frame bbox
+feature maps, fuses them with (adapted) DINOv2 patch tokens and a 2D sin-cos
+positional embedding, replaces the query frame's bbox tokens with a learnable
+query, runs a 12-layer pre-LN self-attention stack jointly over all frames'
+tokens, and projects the query tokens back to per-pixel corner heatmaps.
+
+TPU-native differences: one fused attention stack over (B, T*P, C) with the
+Pallas flash kernel; masking by `where` instead of boolean fancy-indexing
+(jit-static shapes); bf16 compute / f32 params.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from boxdreamer_tpu.models import layers
+from boxdreamer_tpu.ops.heatmap import feature_channels
+
+
+@dataclasses.dataclass(frozen=True)
+class BETRConfig:
+    """Defaults mirror configs/model/transformer.yaml:36-49 of the reference."""
+
+    d_model: int = 768
+    nhead: int = 8
+    num_decoder_layers: int = 12
+    patch_size: int = 14
+    img_size: int = 224
+    pose_representation: str = "bb8"  # 'bb8' | 'plucker'
+    bbox_representation: str = "heatmap"  # 'heatmap' | 'voting' | 'conf_voting'
+    use_pretrained: bool = True  # fuse DINOv2 tokens (use_rgb + dino encoder)
+    mlp_ratio: float = 4.0
+    qk_norm: bool = True
+    adapter_dropout: float = 0.1
+    dtype: str = "bfloat16"
+
+    @property
+    def box_dim(self) -> int:
+        return feature_channels(self.bbox_representation)
+
+    @property
+    def grid(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def tokens_per_frame(self) -> int:
+        return self.grid**2
+
+
+class BETR(nn.Module):
+    """Box Estimation TRansformer decoder."""
+
+    config: BETRConfig = BETRConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        pose_feat: jax.Array,
+        rgbs: Optional[jax.Array],
+        masks: jax.Array,
+        pretrain_rgb_feat: Optional[jax.Array] = None,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Args:
+            pose_feat: (B, T, box_dim, H, W) bbox feature maps (query frame
+                content is ignored — replaced by the learnable query).
+            rgbs: (B, T, 3, H, W) RGB frames; only consumed on the
+                from-scratch path (use_pretrained=False).
+            masks: (B, T) bool, True at the query frame (camera_mask).
+            pretrain_rgb_feat: (B, T, P, d_model) encoder patch tokens
+                (required when use_pretrained).
+
+        Returns:
+            (B, box_dim, H, W) query prediction; for the heatmap
+            representation squashed to [-1, 1] via 2*sigmoid-1
+            (reference betr.py:403-437).
+        """
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        p2 = cfg.patch_size**2
+        P = cfg.tokens_per_frame
+        B, T = masks.shape
+
+        # --- bbox feature tokens -------------------------------------------------
+        pose_tokens = layers.patchify(
+            pose_feat.astype(dtype), cfg.patch_size
+        )  # (B, T, P, p2*box_dim)
+
+        if cfg.use_pretrained:
+            assert pretrain_rgb_feat is not None, "pretrained tokens required"
+            # Adapter Mlp + parameter-free LayerNorm (betr.py:156-161,310-317).
+            rgb_tokens = layers.Mlp(
+                out_features=cfg.d_model,
+                dropout=cfg.adapter_dropout,
+                dtype=dtype,
+                name="input_transform",
+            )(pretrain_rgb_feat.astype(dtype), deterministic=deterministic)
+            rgb_tokens = nn.LayerNorm(
+                epsilon=1e-6, use_bias=False, use_scale=False, dtype=dtype, name="norm"
+            )(rgb_tokens)
+            pose_tokens = nn.Dense(cfg.d_model, dtype=dtype, name="bbox_emb")(
+                pose_tokens
+            )
+            # Replace query-frame bbox tokens with the learnable query
+            # (betr.py:166,287-290) — `where` instead of boolean indexing.
+            query_token = self.param(
+                "bbox_learnable_query",
+                nn.initializers.zeros,
+                (1, cfg.d_model),
+                jnp.float32,
+            )
+            pose_tokens = jnp.where(
+                masks[:, :, None, None],
+                query_token.astype(dtype)[None, None],
+                pose_tokens,
+            )
+            fuse = pose_tokens + rgb_tokens
+        else:
+            assert rgbs is not None
+            rgb_tokens = layers.patchify(rgbs.astype(dtype), cfg.patch_size)
+            query_token = self.param(
+                "bbox_learnable_query",
+                nn.initializers.zeros,
+                (1, p2 * cfg.box_dim),
+                jnp.float32,
+            )
+            pose_tokens = jnp.where(
+                masks[:, :, None, None],
+                query_token.astype(dtype)[None, None],
+                pose_tokens,
+            )
+            fuse = jnp.concatenate([rgb_tokens, pose_tokens], axis=-1)
+            fuse = nn.Dense(cfg.d_model, dtype=dtype, name="input_emb")(fuse)
+
+        # --- positional embedding ------------------------------------------------
+        pos = layers.get_2d_sincos_pos_embed(cfg.d_model, cfg.grid, cfg.grid)
+        fuse = fuse + jnp.asarray(pos, dtype=dtype)[None, None]
+
+        # --- joint attention over all frames' tokens -----------------------------
+        x = fuse.reshape(B, T * P, cfg.d_model)
+        for i in range(cfg.num_decoder_layers):
+            x = layers.TransformerBlock(
+                num_heads=cfg.nhead,
+                mlp_ratio=cfg.mlp_ratio,
+                qk_norm=cfg.qk_norm,
+                qkv_bias=True,
+                ln_eps=1e-5,
+                dtype=dtype,
+                name=f"block_{i}",
+            )(x, deterministic=deterministic)
+        x = x.reshape(B, T, P, cfg.d_model)
+
+        # --- select query tokens (exactly one query per batch row) ---------------
+        query_feat = jnp.einsum(
+            "btpc,bt->bpc", x, masks.astype(x.dtype)
+        )  # (B, P, C)
+
+        # --- output head ---------------------------------------------------------
+        out = nn.Dense(p2 * cfg.box_dim, dtype=dtype, name="bbox_proj")(query_feat)
+        out = layers.unpatchify(out, cfg.patch_size, cfg.box_dim)  # (B, c, H, W)
+        if cfg.box_dim == 8:
+            out = 2.0 * jax.nn.sigmoid(out.astype(jnp.float32)) - 1.0
+        return out

@@ -1,0 +1,149 @@
+"""BoxDreamer — the full pose-estimation model as one XLA program.
+
+Top-level equivalent of the reference BoxDreamer nn.Module
+(src/models/BoxDreamerModel.py:21-384) plus its eval-time post-processing
+(src/models/utils/prediction_utils.py:14-136, box_utils.py:113-199). The
+reference splits the pipeline across torch CUDA (encoder+decoder), torch CPU
+(keypoint top-k partly), and OpenCV C++ on CPU (per-sample PnP in a Python
+double loop). Here `forward_with_pose` is a single jittable function:
+
+    DINOv2 tokens -> BETR heatmaps -> top-k decode -> batched PnP -> poses
+
+so eval never leaves the device, and the whole thing shards over a mesh by
+vmapping the batch dimension.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from boxdreamer_tpu.models.betr import BETR, BETRConfig
+from boxdreamer_tpu.models.dinov2 import DinoViT, DinoViTConfig
+from boxdreamer_tpu.ops import decode as decode_ops
+from boxdreamer_tpu.ops import pnp as pnp_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class BoxDreamerConfig:
+    """Mirrors the reference's `modules` config group
+    (configs/model/transformer.yaml:13-68)."""
+
+    encoder: str = "dino"  # 'dino' | 'none'
+    freeze_encoder: bool = True
+    coordinate: str = "object"  # 'object' | 'first_camera'
+    pose_representation: str = "bb8"
+    bbox_representation: str = "heatmap"
+    decode_topk: int = 20
+    pnp_iters: int = 20
+    betr: BETRConfig = BETRConfig()
+    dino: DinoViTConfig = DinoViTConfig()
+
+    def __post_init__(self):
+        object.__setattr__(
+            self,
+            "betr",
+            dataclasses.replace(
+                self.betr,
+                pose_representation=self.pose_representation,
+                bbox_representation=self.bbox_representation,
+                use_pretrained=self.encoder != "none",
+            ),
+        )
+
+
+class BoxDreamer(nn.Module):
+    """Encoder + BETR decoder; returns query-frame bbox feature prediction."""
+
+    config: BoxDreamerConfig = BoxDreamerConfig()
+
+    @nn.compact
+    def __call__(
+        self,
+        images: jax.Array,
+        bbox_feat: jax.Array,
+        camera_mask: jax.Array,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        """Args:
+            images: (B, T, 3, H, W) crops in [0, 1].
+            bbox_feat: (B, T, box_dim, H, W) reference bbox features.
+            camera_mask: (B, T) bool, True at the query frame.
+
+        Returns:
+            (B, box_dim, H, W) query heatmaps in [-1, 1].
+        """
+        cfg = self.config
+        B, T = images.shape[:2]
+
+        rgb_tokens = None
+        if cfg.encoder == "dino":
+            flat = images.reshape((B * T,) + images.shape[2:])
+            tokens = DinoViT(cfg.dino, name="encoder")(flat)
+            if cfg.freeze_encoder:
+                # Frozen encoder (reference dinov2.py:48 predict under
+                # no_grad) — cut gradients, keep params out of the trainable
+                # partition (see training/optim.py).
+                tokens = jax.lax.stop_gradient(tokens)
+            rgb_tokens = tokens.reshape(B, T, tokens.shape[1], tokens.shape[2])
+
+        return BETR(cfg.betr, name="decoder")(
+            bbox_feat,
+            images,
+            camera_mask,
+            pretrain_rgb_feat=rgb_tokens,
+            deterministic=deterministic,
+        )
+
+
+def camera_mask_from_query_idx(query_idx: jax.Array, T: int) -> jax.Array:
+    """One-hot bool mask (reference BoxDreamerModel.py:204-210)."""
+    return jax.nn.one_hot(query_idx, T, dtype=jnp.bool_)
+
+
+def forward_with_pose(
+    model: BoxDreamer,
+    params: Any,
+    batch: Dict[str, jax.Array],
+) -> Dict[str, jax.Array]:
+    """Full eval forward: heatmaps -> keypoints -> PnP pose. Jittable.
+
+    Args (batch keys, mirroring the reference batch dict base.py:725-752):
+        images: (B, T, 3, H, W); bbox_feat: (B, T, c, H, W);
+        query_idx: (B,) int; bbox_3d: (B, T, 8, 3);
+        non_ndc_intrinsics: (B, T, 3, 3).
+
+    Returns dict with pred_bbox (query heatmaps), pred_kpts_2d,
+    pred_kpts_2d_normalized, and pred_poses (B, 4, 4) for the query frame.
+    """
+    cfg = model.config
+    B, T = batch["images"].shape[:2]
+    camera_mask = camera_mask_from_query_idx(batch["query_idx"], T)
+
+    heatmaps = model.apply(
+        params, batch["images"], batch["bbox_feat"], camera_mask
+    )  # (B, c, H, W)
+
+    norm_kpts, kpts = decode_ops.decode_bbox_features(
+        heatmaps, cfg.bbox_representation, k=cfg.decode_topk
+    )  # (B, 8, 2)
+
+    # Query-frame 3D box and intrinsics via one-hot contraction (jit-static).
+    mask_f = camera_mask.astype(jnp.float32)
+    bbox_3d_q = jnp.einsum("btnc,bt->bnc", batch["bbox_3d"].astype(jnp.float32), mask_f)
+    K_q = jnp.einsum(
+        "btij,bt->bij", batch["non_ndc_intrinsics"].astype(jnp.float32), mask_f
+    )
+
+    poses = pnp_ops.solve_pnp(bbox_3d_q, kpts, K_q, iters=cfg.pnp_iters)
+
+    return {
+        "pred_bbox": heatmaps,
+        "pred_kpts_2d": kpts,
+        "pred_kpts_2d_normalized": norm_kpts,
+        "pred_poses": poses,
+    }

@@ -1,0 +1,210 @@
+"""Shared transformer building blocks (Flax).
+
+Functional equivalents of the reference's block zoo
+(src/models/modules/backbone/utils/blocks.py): pre-LN self-attention block
+with optional per-head RMSNorm on q/k, optional LayerScale (DINOv2), and the
+timm-style MLP. Attention itself routes through the TPU Pallas kernel
+(boxdreamer_tpu/ops/attention.py).
+
+Numerics parity notes vs the reference:
+  * GELU is the exact (erf) variant — torch ``nn.GELU`` default.
+  * Block LayerNorm eps is 1e-5 (reference get_layernorm hardcodes 1e-5 at
+    blocks.py:805 despite being called with 1e-6); DINOv2 uses 1e-6.
+  * qk-norm is LlamaRMSNorm over the head dim with learnable scale
+    (blocks.py:231-232).
+  * The attention softmax runs in float32 regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boxdreamer_tpu.ops.attention import multi_head_attention
+
+
+def gelu_exact(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+class RMSNorm(nn.Module):
+    """Llama-style RMSNorm: x * rsqrt(mean(x^2) + eps) * weight, computed in
+    float32 (reference LlamaRMSNorm semantics)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        dtype = x.dtype
+        w = self.param("weight", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        out = xf * jax.lax.rsqrt(var + self.eps)
+        return (out * w).astype(dtype)
+
+
+class Mlp(nn.Module):
+    """timm-style MLP: Linear -> GELU -> Linear (dropout only in training)."""
+
+    hidden_features: Optional[int] = None
+    out_features: Optional[int] = None
+    dropout: float = 0.0
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        in_features = x.shape[-1]
+        hidden = self.hidden_features or in_features
+        out = self.out_features or in_features
+        x = nn.Dense(hidden, use_bias=self.use_bias, dtype=self.dtype, name="fc1")(x)
+        x = gelu_exact(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        x = nn.Dense(out, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        return x
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention with fused qkv projection.
+
+    Mirrors the reference Attention (blocks.py:208-302): fused qkv Linear
+    (optional bias), optional RMSNorm on per-head q/k, softmax scale
+    ``head_dim**-0.5``, output projection. Dispatches to the Pallas flash
+    kernel on TPU.
+    """
+
+    num_heads: int
+    qkv_bias: bool = True
+    qk_norm: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        if self.qk_norm:
+            q = RMSNorm(name="q_norm")(q)
+            k = RMSNorm(name="k_norm")(k)
+        out = multi_head_attention(q, k, v, scale=head_dim**-0.5)
+        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+        return nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="proj")(out)
+
+
+class LayerScale(nn.Module):
+    """DINOv2 LayerScale: elementwise learnable gamma."""
+
+    init_value: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma",
+            nn.initializers.constant(self.init_value),
+            (x.shape[-1],),
+            jnp.float32,
+        )
+        return x * gamma.astype(x.dtype)
+
+
+class TransformerBlock(nn.Module):
+    """Pre-LN transformer block (reference SelfAttentionBlock,
+    blocks.py:808-886, and DINOv2 NestedTensorBlock when layerscale is on)."""
+
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qk_norm: bool = False
+    qkv_bias: bool = True
+    ln_eps: float = 1e-5
+    layerscale_init: Optional[float] = None  # None => no LayerScale
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        C = x.shape[-1]
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
+        h = Attention(
+            num_heads=self.num_heads,
+            qkv_bias=self.qkv_bias,
+            qk_norm=self.qk_norm,
+            dtype=self.dtype,
+            name="attn",
+        )(h)
+        if self.layerscale_init is not None:
+            h = LayerScale(self.layerscale_init, name="ls1")(h)
+        x = x + h
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
+        h = Mlp(
+            hidden_features=int(C * self.mlp_ratio),
+            dtype=self.dtype,
+            name="mlp",
+        )(h, deterministic=deterministic)
+        if self.layerscale_init is not None:
+            h = LayerScale(self.layerscale_init, name="ls2")(h)
+        return x + h
+
+
+def get_2d_sincos_pos_embed(embed_dim: int, grid_h: int, grid_w: int) -> np.ndarray:
+    """2D sin-cos positional embedding, (grid_h*grid_w, embed_dim).
+
+    Matches the reference layout (src/models/modules/backbone/utils/
+    pos_encodiong.py:125-213): for a patch at (row i, col j), the first half
+    of the embedding encodes x=j, the second half y=i; tokens are flattened
+    row-major. Computed once on host in float64.
+    """
+    assert embed_dim % 4 == 0
+
+    def emb_1d(pos):
+        half = embed_dim // 4
+        omega = np.arange(half, dtype=np.float64) / half
+        omega = 1.0 / (10000.0**omega)
+        out = np.outer(pos, omega)  # (M, half)
+        return np.concatenate([np.sin(out), np.cos(out)], axis=1)  # (M, d/2)
+
+    ys, xs = np.meshgrid(
+        np.arange(grid_h, dtype=np.float64),
+        np.arange(grid_w, dtype=np.float64),
+        indexing="ij",
+    )
+    emb_x = emb_1d(xs.reshape(-1))
+    emb_y = emb_1d(ys.reshape(-1))
+    return np.concatenate([emb_x, emb_y], axis=1).astype(np.float32)
+
+
+def patchify(imgs: jax.Array, patch_size: int) -> jax.Array:
+    """(..., C, H, W) -> (..., (H/p)*(W/p), p*p*C) with the reference's
+    channel-last-in-patch layout (betr.py:211-228): flat index =
+    (row_in_patch * p + col_in_patch) * C + channel."""
+    *lead, C, H, W = imgs.shape
+    p = patch_size
+    h, w = H // p, W // p
+    x = imgs.reshape(*lead, C, h, p, w, p)
+    # (..., C, h, p, w, q) -> (..., h, w, p, q, C)
+    nlead = len(lead)
+    perm = tuple(range(nlead)) + tuple(
+        nlead + i for i in (1, 3, 2, 4, 0)
+    )
+    x = jnp.transpose(x, perm)
+    return x.reshape(*lead, h * w, p * p * C)
+
+
+def unpatchify(x: jax.Array, patch_size: int, channels: int) -> jax.Array:
+    """Inverse of :func:`patchify` for square grids:
+    (..., L, p*p*C) -> (..., C, H, W)."""
+    *lead, L, _ = x.shape
+    p = patch_size
+    h = w = int(round(L**0.5))
+    assert h * w == L, f"non-square token grid: {L}"
+    x = x.reshape(*lead, h, w, p, p, channels)
+    nlead = len(lead)
+    perm = tuple(range(nlead)) + tuple(nlead + i for i in (4, 0, 2, 1, 3))
+    x = jnp.transpose(x, perm)  # (..., C, h, p, w, q)
+    return x.reshape(*lead, channels, h * p, w * p)

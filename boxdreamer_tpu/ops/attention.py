@@ -1,0 +1,164 @@
+"""Fused multi-head attention for TPU: Pallas flash kernel + XLA reference.
+
+Replaces the reference's attention backend switch (flash-attn CUDA -> torch
+SDPA -> naive matmul, src/models/modules/backbone/utils/blocks.py:208-302)
+with a TPU-native pair:
+
+  * :func:`flash_attention` — a Pallas online-softmax kernel: streams K/V in
+    VMEM blocks, keeps running max/denominator/accumulator in f32, never
+    materializes the (N, N) score matrix in HBM. Head dim is zero-padded to
+    the 128-lane width (padding contributes 0 to q·k and is sliced off the
+    output). Sequence length is padded to the block size with -inf-masked
+    keys.
+  * :func:`mha_reference` — plain XLA einsum+softmax (f32 accumulation),
+    used on CPU and as the correctness oracle in tests.
+
+Both take (B, H, N, D) and return (B, H, N, D), preserving input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+DEFAULT_BLOCK_Q = 256
+DEFAULT_BLOCK_K = 256
+NEG_INF = -1e30
+
+
+def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax.Array:
+    """Reference attention: softmax(q k^T * scale) v with f32 softmax.
+
+    Mirrors the reference's naive fallback (blocks.py:287-294) which also
+    upcasts the attention matrix to float32 before softmax.
+    """
+    out_dtype = q.dtype
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd", p.astype(q.dtype), v, preferred_element_type=jnp.float32
+    )
+    return out.astype(out_dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int, block_k: int):
+    """One (batch*head, q-block) program: online softmax over K/V blocks."""
+    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+    bq, d = q.shape
+    n_kv = k_ref.shape[1]
+    num_kb = n_kv // block_k
+
+    m = jnp.full((bq, 1), NEG_INF, dtype=jnp.float32)
+    l = jnp.zeros((bq, 1), dtype=jnp.float32)
+    acc = jnp.zeros((bq, d), dtype=jnp.float32)
+
+    def body(j, carry):
+        m, l, acc = carry
+        kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q,
+            kb,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (BQ, BK)
+        # Mask keys beyond the true sequence length (padding).
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
+        s = jnp.where(col < n_valid, s, NEG_INF)
+
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot_general(
+            p,
+            vb,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def flash_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+) -> jax.Array:
+    """Pallas flash attention.
+
+    Args:
+        q, k, v: (B, H, N, D).
+        scale: softmax scale (typically D**-0.5 on the unpadded D).
+
+    Returns:
+        (B, H, N, D) in the dtype of ``q``.
+    """
+    B, H, N, D = q.shape
+    out_dtype = q.dtype
+
+    D_pad = _round_up(D, LANE)
+    block_q = min(block_q, _round_up(N, LANE))
+    block_k = min(block_k, _round_up(N, LANE))
+    N_pad = _round_up(N, max(block_q, block_k))
+
+    def pad(x):
+        x = x.reshape(B * H, N, D)
+        return jnp.pad(x, ((0, 0), (0, N_pad - N), (0, D_pad - D)))
+
+    qp, kp, vp = pad(q), pad(k), pad(v)
+
+    grid = (B * H, N_pad // block_q)
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_kernel, scale=scale, n_valid=N, block_k=block_k
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, block_q, D_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, N_pad, D_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, N_pad, D_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, D_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B * H, N_pad, D_pad), out_dtype),
+        interpret=interpret,
+    )(qp, kp, vp)
+    return out[:, :N, :D].reshape(B, H, N, D)
+
+
+def multi_head_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float
+) -> jax.Array:
+    """Backend dispatch: Pallas kernel on TPU, XLA reference elsewhere."""
+    platform = jax.default_backend()
+    if platform == "tpu":
+        return flash_attention(q, k, v, scale)
+    return mha_reference(q, k, v, scale)

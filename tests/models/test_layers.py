@@ -1,0 +1,92 @@
+import flax.linen as fnn
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+
+from boxdreamer_tpu.models import layers
+
+
+def test_patchify_unpatchify_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 28, 28))
+    tokens = layers.patchify(x, 14)
+    assert tokens.shape == (2, 4, 14 * 14 * 8)
+    back = layers.unpatchify(tokens, 14, 8)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-6)
+
+
+def test_patchify_matches_reference_layout():
+    """Reference patchify (betr.py:211-228): reshape(B,c,h,p,w,q) ->
+    einsum nchpwq->nhwpqc -> (B, h*w, p*p*c). Verify against torch."""
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(2, 3, 28, 28)).astype(np.float32)
+    p, c = 14, 3
+    t = torch.from_numpy(imgs)
+    h = w = 28 // p
+    ref = t.reshape(2, c, h, p, w, p)
+    ref = torch.einsum("nchpwq->nhwpqc", ref).reshape(2, h * w, p * p * c)
+    ours = layers.patchify(jnp.asarray(imgs), p)
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-6)
+
+
+def test_patchify_leading_dims():
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8, 28, 28))
+    tokens = layers.patchify(x, 14)
+    assert tokens.shape == (2, 3, 4, 14 * 14 * 8)
+    single = layers.patchify(x[0, 1], 14)
+    np.testing.assert_allclose(np.asarray(tokens[0, 1]), np.asarray(single), atol=0)
+
+
+def test_sincos_pos_embed_matches_reference():
+    """Golden check against the reference formula
+    (pos_encodiong.py:125-213) re-derived in numpy with torch ops."""
+    d, g = 64, 4
+    # Reference computation.
+    grid_h = torch.arange(g, dtype=torch.float64)
+    grid_w = torch.arange(g, dtype=torch.float64)
+    gw, gh = torch.meshgrid(grid_w, grid_h, indexing="xy")
+    grid = torch.stack([gw, gh], dim=0).reshape(2, 1, g, g)
+
+    def emb_1d(dim, pos):
+        omega = torch.arange(dim // 2, dtype=torch.float64) / (dim / 2.0)
+        omega = 1.0 / 10000**omega
+        out = torch.einsum("m,d->md", pos.reshape(-1), omega)
+        return torch.cat([torch.sin(out), torch.cos(out)], dim=1)
+
+    emb = torch.cat([emb_1d(d // 2, grid[0]), emb_1d(d // 2, grid[1])], dim=1)
+    ref = emb.reshape(g, g, d).reshape(g * g, d).numpy()
+
+    ours = layers.get_2d_sincos_pos_embed(d, g, g)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_rmsnorm_matches_llama_semantics():
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, 16)) * 3.0
+    mod = layers.RMSNorm()
+    params = mod.init(jax.random.PRNGKey(3), x)
+    out = mod.apply(params, x)
+    xn = np.asarray(x)
+    expected = xn / np.sqrt((xn**2).mean(-1, keepdims=True) + 1e-6)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+def test_transformer_block_shapes_and_grad():
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 64))
+    block = layers.TransformerBlock(num_heads=4, qk_norm=True)
+    params = block.init(jax.random.PRNGKey(5), x)
+    out = block.apply(params, x)
+    assert out.shape == x.shape
+
+    def loss(p):
+        return (block.apply(p, x) ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_gelu_is_exact_variant():
+    x = jnp.asarray([-1.0, 0.5, 2.0])
+    ours = layers.gelu_exact(x)
+    ref = torch.nn.functional.gelu(torch.tensor([-1.0, 0.5, 2.0]))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(), atol=1e-6)

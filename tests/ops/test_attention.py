@@ -1,0 +1,62 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from boxdreamer_tpu.ops import attention
+
+
+def make_qkv(key, B=2, H=4, N=256, D=96, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (B, H, N, D), dtype=dtype)
+    k = jax.random.normal(k2, (B, H, N, D), dtype=dtype)
+    v = jax.random.normal(k3, (B, H, N, D), dtype=dtype)
+    return q, k, v
+
+
+def test_reference_matches_naive_softmax():
+    q, k, v = make_qkv(jax.random.PRNGKey(0), B=1, H=2, N=32, D=16)
+    scale = 16**-0.5
+    out = attention.mha_reference(q, k, v, scale)
+    s = np.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    expected = np.einsum("bhqk,bhkd->bhqd", p, v)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=1e-5)
+
+
+@pytest.mark.parametrize("N,D", [(256, 96), (512, 64), (261, 64), (384, 128)])
+def test_flash_kernel_matches_reference(N, D):
+    """Pallas kernel (interpret mode on CPU) vs the XLA reference — covers
+    BETR shapes (N multiple of 256, D=96), DINOv2 shapes (N=261, D=64), and
+    aligned shapes."""
+    q, k, v = make_qkv(jax.random.PRNGKey(1), B=2, H=2, N=N, D=D)
+    scale = D**-0.5
+    ref = attention.mha_reference(q, k, v, scale)
+    out = attention.flash_attention(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_kernel_bf16():
+    q, k, v = make_qkv(jax.random.PRNGKey(2), N=256, D=64, dtype=jnp.bfloat16)
+    scale = 64**-0.5
+    ref = attention.mha_reference(q, k, v, scale)
+    out = attention.flash_attention(q, k, v, scale, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32), np.asarray(ref, dtype=np.float32), atol=0.05
+    )
+
+
+def test_flash_kernel_blocking_invariance():
+    q, k, v = make_qkv(jax.random.PRNGKey(3), N=512, D=64)
+    scale = 64**-0.5
+    a = attention.flash_attention(q, k, v, scale, block_q=128, block_k=128, interpret=True)
+    b = attention.flash_attention(q, k, v, scale, block_q=256, block_k=512, interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
+def test_dispatch_runs_on_cpu():
+    q, k, v = make_qkv(jax.random.PRNGKey(4), N=128, D=32)
+    out = attention.multi_head_attention(q, k, v, 32**-0.5)
+    assert out.shape == q.shape
