@@ -1,0 +1,167 @@
+"""Config-driven loss registry (pure JAX).
+
+Equivalent of the reference's Loss module (src/loss/loss.py:8-73) and its
+CornerNet focal loss (src/loss/utils/focal_loss.py:6-59): each configured
+entry picks a base loss, a pred/gt key pair in the batch dict, and a
+[w_query, w_ref] weighting applied through the (B, T) camera_mask. All
+losses are jittable scalars; the masked selection uses `where` + mean
+renormalization instead of boolean fancy-indexing so shapes stay static.
+
+Default config (configs/model/loss/default.yaml:1-29 in the reference):
+one smooth_l1 term on pred_bbox vs bbox_feat, query frames only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+# --- elementwise base losses -------------------------------------------------
+
+
+def mse(pred, gt):
+    return (pred - gt) ** 2
+
+
+def l1(pred, gt):
+    return jnp.abs(pred - gt)
+
+
+def smooth_l1(pred, gt, beta: float = 1.0):
+    """torch.nn.SmoothL1Loss semantics (beta=1)."""
+    d = jnp.abs(pred - gt)
+    return jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta)
+
+
+def huber(pred, gt, delta: float = 1.0):
+    """torch.nn.HuberLoss semantics (delta=1)."""
+    d = jnp.abs(pred - gt)
+    return jnp.where(d < delta, 0.5 * d * d, delta * (d - 0.5 * delta))
+
+
+def bce_with_logits(pred, gt):
+    return jnp.maximum(pred, 0) - pred * gt + jnp.log1p(jnp.exp(-jnp.abs(pred)))
+
+
+def cross_entropy(pred_logits, gt_labels):
+    logp = jax.nn.log_softmax(pred_logits, axis=-1)
+    return -jnp.take_along_axis(logp, gt_labels[..., None], axis=-1)[..., 0]
+
+
+def cornernet_focal(pred, gt, alpha: float = 2.0, beta: float = 4.0):
+    """CornerNet keypoint focal loss on [-1, 1] heatmaps
+    (reference focal_loss.py:18-59). Returns a scalar (it owns its own
+    positive-count normalization, unlike the elementwise losses)."""
+    pred = (pred.astype(jnp.float32) + 1.0) / 2.0
+    gt = (gt.astype(jnp.float32) + 1.0) / 2.0
+    pred = jnp.clip(pred, 1e-4, 1.0 - 1e-4)
+
+    pos_mask = (gt == 1.0).astype(jnp.float32)
+    pos_loss = ((1.0 - pred) ** alpha) * jnp.log(pred + 1e-9) * pos_mask
+    neg_weights = (1.0 - gt) ** beta
+    neg_loss = (pred**alpha) * jnp.log1p(-pred + 1e-9) * (1.0 - pos_mask) * neg_weights
+
+    num_pos = pos_mask.sum()
+    total = pos_loss.sum() + neg_loss.sum()
+    return jnp.where(num_pos > 0, -total / jnp.maximum(num_pos, 1.0), -neg_loss.sum())
+
+
+_ELEMENTWISE: Dict[str, Callable] = {
+    "mse": mse,
+    "l1": l1,
+    "smooth_l1": smooth_l1,
+    "huber": huber,
+    "bce": bce_with_logits,
+}
+_SCALAR: Dict[str, Callable] = {
+    "focal": cornernet_focal,
+    "cross_entropy": lambda p, g: cross_entropy(p, g).mean(),
+}
+
+
+@dataclasses.dataclass(frozen=True)
+class LossTerm:
+    """One entry of the loss config (type/weight/pred_key/gt_key/mask_key)."""
+
+    type: str = "smooth_l1"
+    weight: Tuple[float, float] = (1.0, 0.0)  # (w_query, w_ref)
+    pred_key: str = "pred_bbox"
+    gt_key: str = "bbox_feat"
+    mask_key: str = "camera_mask"
+
+
+def _masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
+    """Mean of `values` over entries where (B, T) `mask` is True.
+
+    `values` has shape (B, T, ...); equivalent to the reference's
+    `loss_fn(pred[mask], gt[mask])` reduction."""
+    m = mask.astype(values.dtype)
+    extra = values.ndim - m.ndim
+    m = m.reshape(m.shape + (1,) * extra)
+    denom = m.sum() * jnp.prod(jnp.asarray(values.shape[2:], dtype=values.dtype))
+    return (values * m).sum() / jnp.maximum(denom, 1.0)
+
+
+class Loss:
+    """Callable loss over the batch dict: returns (total, per-term dict)."""
+
+    def __init__(self, terms: Sequence[LossTerm] = (LossTerm(),)):
+        self.terms = tuple(terms)
+        for t in self.terms:
+            if t.type not in _ELEMENTWISE and t.type not in _SCALAR:
+                raise ValueError(f"Unsupported loss type: {t.type}")
+
+    def __call__(self, data: Dict[str, jax.Array]):
+        total = jnp.asarray(0.0, dtype=jnp.float32)
+        details: Dict[str, jax.Array] = {}
+        for term in self.terms:
+            pred = data[term.pred_key].astype(jnp.float32)
+            gt = data[term.gt_key].astype(jnp.float32)
+            mask = data.get(term.mask_key) if term.mask_key else None
+
+            if term.type in _SCALAR:
+                # Scalar losses are applied to query frames only via mask==1
+                # pre-selection with where (content at ref frames zeroed).
+                fn = _SCALAR[term.type]
+                if mask is not None:
+                    m = mask.reshape(mask.shape + (1,) * (pred.ndim - mask.ndim))
+                    loss = fn(jnp.where(m, pred, 0.0), jnp.where(m, gt, 0.0))
+                else:
+                    loss = fn(pred, gt)
+                loss = loss * term.weight[0]
+            else:
+                fn = _ELEMENTWISE[term.type]
+                values = fn(pred, gt)
+                if mask is not None:
+                    loss = jnp.asarray(0.0, dtype=jnp.float32)
+                    if term.weight[0] != 0.0:
+                        loss = loss + term.weight[0] * _masked_mean(values, mask)
+                    if term.weight[1] != 0.0:
+                        loss = loss + term.weight[1] * _masked_mean(
+                            values, jnp.logical_not(mask)
+                        )
+                else:
+                    loss = values.mean() * term.weight[0]
+
+            total = total + loss
+            details[term.pred_key] = details.get(term.pred_key, 0.0) + loss
+        return total, details
+
+
+def from_config(cfg: Sequence[dict]) -> Loss:
+    """Build from a list of dicts (the YAML `losses:` entries)."""
+    terms = [
+        LossTerm(
+            type=e.get("type", "smooth_l1"),
+            weight=tuple(e.get("weight", (1.0, 0.0))),
+            pred_key=e.get("pred_key", "pred_bbox"),
+            gt_key=e.get("gt_key", "bbox_feat"),
+            mask_key=e.get("mask_key", "camera_mask"),
+        )
+        for e in cfg
+    ]
+    return Loss(terms)

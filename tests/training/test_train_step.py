@@ -1,0 +1,94 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boxdreamer_tpu.models import BoxDreamer, BoxDreamerConfig, BETRConfig, DinoViTConfig
+from boxdreamer_tpu.training import loss as loss_lib
+from boxdreamer_tpu.training.optim import OptimConfig, build_schedule
+from boxdreamer_tpu.training.train_step import (
+    create_train_state,
+    make_eval_step,
+    make_train_step,
+    scatter_query_prediction,
+)
+from boxdreamer_tpu.models.boxdreamer import camera_mask_from_query_idx
+
+TINY = BoxDreamerConfig(
+    betr=BETRConfig(
+        d_model=32, nhead=2, num_decoder_layers=1, patch_size=14, img_size=28,
+        dtype="float32",
+    ),
+    dino=DinoViTConfig(
+        img_size=28, patch_size=14, embed_dim=32, depth=1, num_heads=2,
+        dtype="float32",
+    ),
+    pnp_iters=3,
+)
+
+
+def tiny_batch(key, B=2, T=3):
+    k = jax.random.split(key, 4)
+    return {
+        "images": jax.random.uniform(k[0], (B, T, 3, 28, 28)),
+        "bbox_feat": jax.random.uniform(k[1], (B, T, 8, 28, 28)) * 2 - 1,
+        "query_idx": jnp.array([1] * B),
+        "bbox_3d": jnp.broadcast_to(
+            jax.random.normal(k[2], (8, 3)) * 0.1, (B, T, 8, 3)
+        ),
+        "non_ndc_intrinsics": jnp.broadcast_to(
+            jnp.array([[100.0, 0, 14.0], [0, 100.0, 14.0], [0, 0, 1.0]]),
+            (B, T, 3, 3),
+        ),
+    }
+
+
+def test_scatter_query_prediction():
+    bbox = jnp.zeros((2, 3, 8, 4, 4))
+    pred = jnp.ones((2, 8, 4, 4))
+    mask = camera_mask_from_query_idx(jnp.array([0, 2]), 3)
+    out = scatter_query_prediction(bbox, pred, mask)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), 1.0)
+    np.testing.assert_allclose(np.asarray(out[0, 1]), 0.0)
+    np.testing.assert_allclose(np.asarray(out[1, 2]), 1.0)
+
+
+def test_schedule_warmup_then_decay():
+    cfg = OptimConfig(lr=1e-3, warmup_steps=100, cosa_tmax=1000)
+    s = build_schedule(cfg)
+    assert float(s(0)) < 1e-8
+    np.testing.assert_allclose(float(s(50)), 0.5e-3, rtol=1e-3)
+    np.testing.assert_allclose(float(s(100)), 1e-3, rtol=1e-3)
+    assert float(s(1100)) <= float(s(100))
+
+
+def test_train_step_reduces_loss_and_freezes_encoder():
+    model = BoxDreamer(TINY)
+    batch = tiny_batch(jax.random.PRNGKey(0))
+    optim_cfg = OptimConfig(lr=1e-3, use_warmup=False, scheduler="constant")
+    state, tx = create_train_state(model, optim_cfg, jax.random.PRNGKey(1), batch)
+    step = make_train_step(model, loss_lib.Loss(), tx)
+
+    # Snapshot to host before stepping — the train step donates the state.
+    enc_before = [
+        np.asarray(l) for l in jax.tree_util.tree_leaves(state.params["params"]["encoder"])
+    ]
+    losses = []
+    for i in range(5):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i + 10))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0], losses
+    enc_after = jax.tree_util.tree_leaves(state.params["params"]["encoder"])
+    for a, b in zip(enc_before, enc_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(state.step) == 5
+
+
+def test_eval_step_outputs():
+    model = BoxDreamer(TINY)
+    batch = tiny_batch(jax.random.PRNGKey(2))
+    optim_cfg = OptimConfig(use_warmup=False, scheduler="constant")
+    state, _ = create_train_state(model, optim_cfg, jax.random.PRNGKey(3), batch)
+    eval_step = make_eval_step(model, loss_lib.Loss())
+    out, metrics = eval_step(state.params, batch)
+    assert out["pred_poses"].shape == (2, 4, 4)
+    assert np.isfinite(float(metrics["val_loss"]))
