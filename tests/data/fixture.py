@@ -1,0 +1,102 @@
+"""Synthetic LINEMOD-format dataset fixture.
+
+Generates a tiny on-disk dataset matching the adapter layout contract
+(SURVEY.md §4: `*-color.png`, `-box.txt`, `-pose.txt`, `-intrisic.txt` per
+category dir plus models/<cat>/<cat>.ply) with geometrically consistent
+poses, intrinsics, boxes, and a cube CAD model — enough to drive the full
+preprocessing + eval pipeline end-to-end without real data.
+"""
+
+import os
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+IMG_W, IMG_H = 640, 480
+K_DEFAULT = np.array(
+    [[572.4114, 0.0, 325.2611], [0.0, 573.57043, 242.04899], [0.0, 0.0, 1.0]]
+)
+CUBE_HALF = 0.05  # 10 cm cube
+
+
+def look_at_pose(angle: float, elevation: float = 0.4, radius: float = 0.6):
+    """World->camera pose of a camera on a ring looking at the origin."""
+    eye = np.array(
+        [
+            radius * np.cos(angle) * np.cos(elevation),
+            radius * np.sin(angle) * np.cos(elevation),
+            radius * np.sin(elevation),
+        ]
+    )
+    fwd = -eye / np.linalg.norm(eye)
+    up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], axis=0)  # rows: camera axes in world
+    t = -R @ eye
+    pose = np.eye(4)
+    pose[:3, :3] = R
+    pose[:3, 3] = t
+    return pose
+
+
+def cube_vertices(n_per_edge: int = 5) -> np.ndarray:
+    lin = np.linspace(-CUBE_HALF, CUBE_HALF, n_per_edge)
+    g = np.stack(np.meshgrid(lin, lin, lin, indexing="ij"), axis=-1).reshape(-1, 3)
+    # Keep only surface points.
+    on_surface = (np.abs(np.abs(g) - CUBE_HALF) < 1e-9).any(axis=1)
+    return g[on_surface]
+
+
+def project(K, pose, pts):
+    cam = pts @ pose[:3, :3].T + pose[:3, 3]
+    uv = cam @ K.T
+    return uv[:, :2] / uv[:, 2:3]
+
+
+def write_frame(dir_path: str, idx: int, pose: np.ndarray, split: str):
+    base = os.path.join(dir_path, f"{idx:04d}")
+    pts2d = project(K_DEFAULT, pose, cube_vertices())
+    box = np.array(
+        [pts2d[:, 0].min(), pts2d[:, 1].min(), pts2d[:, 0].max(), pts2d[:, 1].max()]
+    )
+    img = Image.new("RGB", (IMG_W, IMG_H), (20, 24, 30))
+    draw = ImageDraw.Draw(img)
+    draw.rectangle([int(v) for v in box], fill=(180, 120, 60))
+    img.save(base + "-color.png")
+    np.savetxt(base + "-pose.txt", pose)
+    np.savetxt(base + "-intrisic.txt", K_DEFAULT)
+    box_name = "-box.txt" if split == "train" else "-box_fasterrcnn.txt"
+    np.savetxt(base + box_name, box)
+
+
+def write_cube_ply(path: str):
+    pts = cube_vertices(7)
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(pts)}\n"
+            "property float x\nproperty float y\nproperty float z\nend_header\n"
+        )
+        for p in pts:
+            f.write(f"{p[0]} {p[1]} {p[2]}\n")
+
+
+def make_linemod_fixture(root: str, cats=("cat",), n_train: int = 8, n_test: int = 3):
+    """Create the fixture tree; returns the root path."""
+    for cat in cats:
+        train_dir = os.path.join(root, "real_train", cat)
+        test_dir = os.path.join(root, "real_test", cat)
+        model_dir = os.path.join(root, "models", cat)
+        os.makedirs(train_dir, exist_ok=True)
+        os.makedirs(test_dir, exist_ok=True)
+        os.makedirs(model_dir, exist_ok=True)
+        for i in range(n_train):
+            write_frame(train_dir, i, look_at_pose(2 * np.pi * i / n_train), "train")
+        for i in range(n_test):
+            write_frame(
+                test_dir, i, look_at_pose(2 * np.pi * (i + 0.37) / n_test, 0.55), "test"
+            )
+        write_cube_ply(os.path.join(model_dir, f"{cat}.ply"))
+    return root
