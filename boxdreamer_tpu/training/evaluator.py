@@ -1,0 +1,127 @@
+"""Evaluation loop: dataset -> jitted forward+PnP -> metric suite -> JSON.
+
+Equivalent of the reference's test loop (trainer.test -> test_step ->
+on_test_epoch_end, src/lightning/BoxDreamer_lightning_model.py:219-289):
+runs each test dataloader through the fused eval program, un-normalizes
+poses, accumulates the metric suite per category, and writes
+``test_metrics.json`` with the reference's key naming.
+
+TPU-native differences: batches are padded to a fixed size (one compiled
+program, no recompiles on the last partial batch), the whole
+forward+decode+PnP runs on device, and only final poses come back to host.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boxdreamer_tpu.data.loader import DataLoader
+from boxdreamer_tpu.data.ply import get_all_points_on_model
+from boxdreamer_tpu.models.boxdreamer import BoxDreamer
+from boxdreamer_tpu.training.metrics import Metrics, MetricsConfig
+from boxdreamer_tpu.training.train_step import make_eval_step
+
+_DEVICE_KEYS = (
+    "images",
+    "bbox_feat",
+    "query_idx",
+    "bbox_3d",
+    "non_ndc_intrinsics",
+)
+
+
+def _pad_batch(batch: Dict, target: int) -> tuple[Dict, int]:
+    """Pad the batch dim to `target` by repeating the last sample."""
+    n = batch["images"].shape[0]
+    if n == target:
+        return batch, n
+    out = dict(batch)
+    for k in _DEVICE_KEYS:
+        v = batch[k]
+        pad = np.repeat(v[-1:], target - n, axis=0)
+        out[k] = np.concatenate([v, pad], axis=0)
+    return out, n
+
+
+class Evaluator:
+    def __init__(
+        self,
+        model: BoxDreamer,
+        params,
+        metrics_config: MetricsConfig = MetricsConfig(),
+        batch_size: int = 8,
+        num_workers: int = 2,
+    ):
+        self.model = model
+        self.params = params
+        self.metrics_config = metrics_config
+        self.batch_size = batch_size
+        self.num_workers = num_workers
+        self._eval_step = make_eval_step(model)
+
+    def run_dataset(self, dataset, dataloader_id: int = 0) -> Metrics:
+        metrics = Metrics(self.metrics_config, dataloader_id=dataloader_id)
+        loader = DataLoader(
+            dataset,
+            batch_size=self.batch_size,
+            shuffle=False,
+            num_workers=self.num_workers,
+        )
+        for batch in loader:
+            padded, n_valid = _pad_batch(batch, self.batch_size)
+            device_batch = {k: jnp.asarray(padded[k]) for k in _DEVICE_KEYS}
+            out, _ = self._eval_step(self.params, device_batch)
+            pred_poses = np.asarray(out["pred_poses"])[:n_valid]
+
+            query_idx = np.asarray(batch["query_idx"])
+            for b in range(n_valid):
+                q = int(query_idx[b])
+                model_path = batch["model_path"][b]
+                model_pts = None
+                if isinstance(model_path, str) and os.path.exists(model_path):
+                    # Reference remaps models_<suffix> dirs to the GT models
+                    # dir for metric CAD points (metric_utils.py:270-273).
+                    parts = model_path.split(os.sep)
+                    if len(parts) >= 3 and parts[-3].startswith("models"):
+                        gt = os.sep.join(parts[:-3] + ["models"] + parts[-2:])
+                        if os.path.exists(gt):
+                            model_path = gt
+                    model_pts = get_all_points_on_model(model_path)
+                cat = batch.get("cat", ["all"] * n_valid)[b]
+                metrics.update(
+                    pose_pred=pred_poses[b],
+                    pose_gt=np.asarray(batch["original_poses"][b][q], dtype=np.float64),
+                    K=np.asarray(
+                        batch["original_intrinsics"][b][q], dtype=np.float64
+                    ),
+                    model_pts=model_pts,
+                    scale=np.asarray(batch["scale"][b][q], dtype=np.float64),
+                    coordinate_transform=np.asarray(
+                        batch["coordinate_transform"][b], dtype=np.float64
+                    ),
+                    cat=cat,
+                )
+        return metrics
+
+    def run(
+        self,
+        datasets: Sequence,
+        output_json: Optional[str] = "test_metrics.json",
+    ) -> Dict:
+        """Evaluate all datasets; returns (and optionally writes) the merged
+        aggregate dict keyed like the reference's test_metrics.json."""
+        agg: Dict = {}
+        for i, ds in enumerate(datasets):
+            m = self.run_dataset(ds, dataloader_id=i)
+            agg.update(m.aggregate())
+        if output_json:
+            import json
+
+            with open(output_json, "w") as f:
+                json.dump(agg, f, indent=2, default=float)
+        return agg

@@ -1,0 +1,140 @@
+"""Config -> framework-object builders.
+
+Replaces Hydra's ``instantiate`` calls in the reference's run.py:55-95 with
+explicit constructors: the YAML tree (configs/) keeps the reference's key
+names, and these builders map them onto the TPU framework's dataclasses.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+from boxdreamer_tpu.data.base import DatasetConfig
+from boxdreamer_tpu.data.registry import build_dataset
+from boxdreamer_tpu.models import BETRConfig, BoxDreamer, BoxDreamerConfig, DinoViTConfig
+from boxdreamer_tpu.training.loss import Loss, from_config as loss_from_config
+from boxdreamer_tpu.training.metrics import MetricsConfig
+from boxdreamer_tpu.training.optim import OptimConfig
+from boxdreamer_tpu.utils.config import ConfigNode
+
+
+def build_model(cfg: ConfigNode) -> BoxDreamer:
+    m = cfg.model.modules
+    dec = m.decoder
+    dtype = {"bf16": "bfloat16", "32": "float32", "16": "float16"}.get(
+        str(cfg.get("precision", "bf16")), "bfloat16"
+    )
+    betr = BETRConfig(
+        d_model=dec.d_model,
+        nhead=dec.nhead,
+        num_decoder_layers=dec.num_decoder_layers,
+        patch_size=dec.patch_size,
+        img_size=dec.img_size,
+        dtype=dtype,
+    )
+    dino = DinoViTConfig(
+        img_size=dec.img_size, patch_size=dec.patch_size, dtype=dtype
+    )
+    model_cfg = BoxDreamerConfig(
+        encoder=m.encoder.name,
+        freeze_encoder=bool(m.encoder.get(m.encoder.name, {}).get("freeze", True)),
+        coordinate=m.coordinate,
+        pose_representation=m.pose_representation,
+        bbox_representation=m.bbox_representation,
+        decode_topk=m.get("decode_topk", 20),
+        pnp_iters=m.get("pnp_iters", 20),
+        betr=betr,
+        dino=dino,
+    )
+    return BoxDreamer(model_cfg)
+
+
+def build_losses(cfg: ConfigNode) -> Tuple[Loss, Loss]:
+    lc = cfg.model.loss
+    return loss_from_config(lc.train.losses), loss_from_config(lc.test.losses)
+
+
+def build_optim_config(cfg: ConfigNode) -> OptimConfig:
+    o = cfg.model.opt
+    frozen = ("encoder",) if cfg.model.modules.encoder.name != "none" else ()
+    return OptimConfig(
+        optimizer=o.optimizer,
+        lr=float(o.true_lr),
+        adam_decay=float(o.adam_decay),
+        adamw_decay=float(o.adamw_decay),
+        scheduler=o.scheduler,
+        mslr_milestones=tuple(o.mslr_milestones),
+        mslr_gamma=float(o.mslr_gamma),
+        cosa_tmax=int(o.cosa_tmax),
+        cosa_eta_min=float(o.cosa_eta_min),
+        elr_gamma=float(o.elr_gamma),
+        use_warmup=bool(o.use_warmup),
+        warmup_steps=int(o.warmup_steps),
+        frozen_prefixes=frozen,
+    )
+
+
+def build_metrics_config(cfg: ConfigNode) -> MetricsConfig:
+    m = cfg.model.metrics
+    return MetricsConfig(
+        metrics_list=tuple(m.metrics_list),
+        t_scale=m.t_scale,
+        pose_thresholds=tuple(m.pose_error.pose_thresholds),
+        proj2d_thres=float(m.proj2d.proj2d_thres),
+    )
+
+
+def build_dataset_config(base: ConfigNode) -> DatasetConfig:
+    return DatasetConfig(
+        image_size=int(base.image_size),
+        length=int(base.length),
+        dynamic_length=tuple(base.dynamic_length) if base.get("dynamic_length") else None,
+        sampling_strategy=base.get("sampling_strategy", "uniform"),
+        stride=int(base.get("stride", 1)),
+        dynamic_stride=bool(base.get("dynamic_stride", False)),
+        min_stride=int(base.get("min_stride", 1)),
+        max_stride=int(base.get("max_stride", 1)),
+        coordinate=base.get("coordinate", "object"),
+        pose_representation=base.get("pose_representation", "bb8"),
+        bbox_representation=base.get("bbox_representation", "heatmap"),
+        compute_optical=bool(base.get("compute_optical", False)),
+        normalize_trans=bool(base.get("normalize_trans", False)),
+        max_norm=bool(base.get("max_norm", False)),
+        use_bbox=bool(base.get("use_bbox", True)),
+        use_mask=bool(base.get("use_mask", False)),
+        mask_bg=bool(base.get("mask_bg", True)),
+        precision=base.get("precision", "float32"),
+    )
+
+
+_ADAPTER_KWARGS = {
+    "LINEMOD": ("root", "model_suffix", "reference_suffix", "cat_filter"),
+    "LINEMODO": ("root", "model_suffix", "reference_suffix", "cat_filter"),
+    "OnePose": ("root",),
+    "OnePose_Lowtexture": ("root",),
+    "YCBV": ("root",),
+    "CO3D": ("root",),
+    "MOPED": ("root",),
+    "Objaverse": ("root",),
+    "Custom": (),
+}
+
+
+def build_datasets(cfg: ConfigNode, split: str) -> List:
+    dm = cfg.datamodule
+    names = {
+        "train": dm.get("train_datasets", []),
+        "val": dm.get("val_datasets", []),
+        "test": dm.get("test_datasets", []),
+    }[split]
+    out = []
+    for name in names:
+        entry = dm[name]
+        ds_cfg = build_dataset_config(entry.base)
+        kwargs = {
+            k: entry.get(k)
+            for k in _ADAPTER_KWARGS.get(name, ())
+            if entry.get(k) is not None
+        }
+        out.append(build_dataset(name, ds_cfg, split, **kwargs))
+    return out

@@ -1,0 +1,174 @@
+"""End-to-end slice tests on the synthetic LINEMOD fixture (SURVEY.md §7.3).
+
+The oracle test is the load-bearing one: feeding the GT heatmaps through
+decode -> PnP -> denormalize -> metrics must recover the GT pose almost
+exactly — which validates the entire geometry chain (crop, intrinsics
+adjustment, heatmap generation, top-k decode, DLT+GN PnP, normalization
+undo, metric computation) with no learned weights involved.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "data"))
+from fixture import make_linemod_fixture  # noqa: E402
+
+from boxdreamer_tpu.data import DatasetConfig, build_dataset
+from boxdreamer_tpu.data.loader import DataLoader
+from boxdreamer_tpu.models import BoxDreamer, BoxDreamerConfig, BETRConfig, DinoViTConfig
+from boxdreamer_tpu.ops import decode as decode_ops
+from boxdreamer_tpu.ops import pnp as pnp_ops
+from boxdreamer_tpu.training.evaluator import Evaluator
+from boxdreamer_tpu.training.metrics import Metrics
+
+
+@pytest.fixture(scope="module")
+def linemod_root(tmp_path_factory):
+    return make_linemod_fixture(str(tmp_path_factory.mktemp("lm")), n_train=8, n_test=4)
+
+
+def test_gt_heatmap_oracle_recovers_pose(linemod_root):
+    """GT bbox_feat -> decode -> PnP must reproduce the GT query pose."""
+    cfg = DatasetConfig(image_size=224, length=4)
+    ds = build_dataset("LINEMOD", cfg, "test", root=linemod_root)
+    metrics = Metrics()
+    for i in range(len(ds)):
+        batch = ds[i]
+        q = int(batch["query_idx"])
+        hm = jnp.asarray(batch["bbox_feat"][q])[None]  # (1, 8, 224, 224)
+        _, kpts = decode_ops.decode_heatmap_topk(hm)
+        pose = pnp_ops.solve_pnp(
+            jnp.asarray(batch["bbox_3d"][q])[None],
+            kpts,
+            jnp.asarray(batch["non_ndc_intrinsics"][q])[None],
+        )[0]
+        metrics.update(
+            pose_pred=np.asarray(pose),
+            pose_gt=batch["original_poses"][q],
+            K=batch["original_intrinsics"][q],
+            scale=batch["scale"][q],
+            coordinate_transform=batch["coordinate_transform"],
+        )
+    agg = metrics.aggregate()
+    # Decode of ideal heatmaps has ~1px quantization noise; the pose must
+    # land well inside the 3cm/3deg bucket.
+    assert agg["3cm@3degree_0"]["all"] == 1.0, agg
+    assert agg["avg_err_R_0"]["all"] < 1.5
+    assert agg["avg_err_t_0"]["all"] < 1.5  # cm
+
+
+def test_gt_oracle_normalized_translation(linemod_root):
+    """Same oracle with translation normalization on — validates the
+    scale bookkeeping (scale undo at metric time) end-to-end. Note the
+    first_camera+bb8 combo is geometrically inconsistent by construction
+    (object-frame corners projected with camera-relative poses — same in
+    the reference, which runs bb8 with object coordinates), so the scale
+    path is what's testable here."""
+    cfg = DatasetConfig(image_size=224, length=4, normalize_trans=True)
+    ds = build_dataset("LINEMOD", cfg, "test", root=linemod_root)
+    metrics = Metrics()
+    batch = ds[0]
+    q = int(batch["query_idx"])
+    hm = jnp.asarray(batch["bbox_feat"][q])[None]
+    _, kpts = decode_ops.decode_heatmap_topk(hm)
+    pose = pnp_ops.solve_pnp(
+        jnp.asarray(batch["bbox_3d"][q])[None],
+        kpts,
+        jnp.asarray(batch["non_ndc_intrinsics"][q])[None],
+    )[0]
+    metrics.update(
+        pose_pred=np.asarray(pose),
+        pose_gt=batch["original_poses"][q],
+        K=batch["original_intrinsics"][q],
+        scale=batch["scale"][q],
+        coordinate_transform=batch["coordinate_transform"],
+    )
+    agg = metrics.aggregate()
+    assert agg["avg_err_R_0"]["all"] < 2.0
+    assert agg["avg_err_t_0"]["all"] < 2.0
+
+
+def test_evaluator_full_loop(linemod_root, tmp_path):
+    """Untrained tiny model through the full Evaluator: must produce a
+    complete test_metrics.json with the reference's key schema."""
+    size = 28
+    cfg = DatasetConfig(image_size=size, length=3)
+    ds = build_dataset("LINEMOD", cfg, "test", root=linemod_root)
+
+    model = BoxDreamer(
+        BoxDreamerConfig(
+            betr=BETRConfig(
+                d_model=32, nhead=2, num_decoder_layers=1, patch_size=14,
+                img_size=size, dtype="float32",
+            ),
+            dino=DinoViTConfig(
+                img_size=size, patch_size=14, embed_dim=32, depth=1, num_heads=2,
+                dtype="float32",
+            ),
+            pnp_iters=3,
+        )
+    )
+    batch0 = ds[0]
+    mask = jnp.zeros((1, 3), dtype=bool).at[:, -1].set(True)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch0["images"])[None],
+        jnp.asarray(batch0["bbox_feat"])[None],
+        mask,
+    )
+    ev = Evaluator(model, params, batch_size=2, num_workers=0)
+    out_json = str(tmp_path / "test_metrics.json")
+    agg = ev.run([ds], output_json=out_json)
+    assert os.path.exists(out_json)
+    for key in (
+        "5cm@5degree_0",
+        "ADD-0.1d 0",
+        "ADDs-0.1d 0",
+        "proj2D@5px 0",
+        "ADD-AUC 0",
+        "proj2D-AUC(40px) 0",
+        "avg_err_R_0",
+        "eval size_0",
+    ):
+        assert key in agg, f"missing {key}"
+    assert agg["eval size_0"]["all"] == 4
+
+
+def test_config_system_composes():
+    from boxdreamer_tpu.utils.config import load_config
+
+    cfg = load_config("configs", "test.yaml", overrides=["length=4", "datamodule.batch_size=2"])
+    assert cfg.length == 4
+    assert cfg.datamodule.batch_size == 2
+    assert cfg.model.modules.decoder.d_model == 768
+    assert cfg.model.modules.decoder.img_size == 224  # ${image_size}
+    assert cfg.model.opt.cosa_tmax == 500  # ${max_epochs}
+    assert cfg.datamodule.LINEMOD.base.image_size == 224
+    assert cfg.model.loss.train.losses[0]["type"] == "smooth_l1"
+
+
+def test_builders_from_config():
+    from boxdreamer_tpu.utils.builders import (
+        build_losses,
+        build_metrics_config,
+        build_model,
+        build_optim_config,
+    )
+    from boxdreamer_tpu.utils.config import load_config
+
+    cfg = load_config("configs", "train.yaml")
+    model = build_model(cfg)
+    assert model.config.betr.d_model == 768
+    assert model.config.betr.dtype == "bfloat16"
+    assert model.config.encoder == "dino"
+    train_loss, _ = build_losses(cfg)
+    assert train_loss.terms[0].type == "smooth_l1"
+    oc = build_optim_config(cfg)
+    assert oc.lr == 4e-4 and oc.warmup_steps == 10000
+    mc = build_metrics_config(cfg)
+    assert mc.pose_thresholds == (1, 3, 5, 10, 15, 20, 30)
