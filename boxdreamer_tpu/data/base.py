@@ -50,6 +50,10 @@ class DatasetConfig:
     mask_bg: bool = True
     precision: str = "float32"  # dtype of returned arrays
     seed: Optional[int] = None
+    # Training-time augmentation (reference aug.py wiring in base.py:418-533):
+    augmentation: Optional[object] = None  # AugmentationConfig
+    pose_augmentation: bool = False
+    ref_aug: bool = False  # also augment reference frames, not just the query
 
 
 def _load_txt_matrix(path: str, shape: Tuple[int, ...]) -> np.ndarray:
@@ -75,6 +79,12 @@ class BaseDataset:
         self.model_paths: Dict[str, str] = {}
         self.bbox_3d_paths: Dict[str, Dict[str, str]] = {}  # [split][cat] -> txt
         self._rng = np.random.default_rng(config.seed)
+        self.augmentor = None
+        if config.augmentation is not None:
+            from boxdreamer_tpu.data.augment import AugmentationProcessor
+
+            self.augmentor = AugmentationProcessor(config.augmentation)
+        self.bg_image_paths: List[str] = []  # background pool for synthetic data
 
     # ---------------------------------------------------------------- lookup
 
@@ -205,14 +215,33 @@ class BaseDataset:
         dtype = np.dtype(cfg.precision)
 
         bbox3d = self.get_bbox3d(cat)
+
+        is_train = self.split == "train" and self.augmentor is not None
+        if is_train and cfg.pose_augmentation:
+            # Random object-frame rotation; applied before the "original"
+            # snapshot, as in the reference (base.py:418-420).
+            poses = self.augmentor.pose_augmentation_R(poses)
+
         original_intrinsics = intrinsics.copy()
         original_poses = poses.copy()
 
         imgs_out, masks_out, crops_out, K_crop_out = [], [], [], []
         shapes = []
+        bg_pool = self.bg_image_paths if is_train else []
         for i in range(T):
             img = images[i]
             K = intrinsics[i].copy()
+
+            if is_train:
+                # In-plane rotation aug updates img/pose/box/K consistently
+                # (reference base.py:444-453).
+                img, poses[i], boxes[i], K = self.augmentor.rotate_image(
+                    img, poses[i], boxes[i], K
+                )
+                intrinsics[i] = K
+                original_intrinsics[i] = K
+                original_poses[i] = poses[i]
+                img = self.augmentor.apply_rgb_augmentation(img)
             shapes.append(img.size)
 
             org_box = boxes[i]
@@ -234,6 +263,20 @@ class BaseDataset:
                     if bbox3d is not None:
                         proj = pp.project_points(K, poses[i], bbox3d)
                         box = pp.bbox_from_projection(proj)
+
+            if is_train and (i == query_idx or cfg.ref_aug):
+                # Occlusion-style augs on the query frame only by default
+                # (reference base.py:503-533).
+                if bg_pool:
+                    from PIL import Image as _PILImage
+
+                    bg = _PILImage.open(
+                        bg_pool[int(self._rng.integers(0, len(bg_pool)))]
+                    ).convert("RGB")
+                    img = self.augmentor.add_background(img, bg)
+                if box is not None:
+                    img = self.augmentor.random_truncate_image_with_bbox(img, box)
+                    img = self.augmentor.random_mask_image_with_bbox(img, None, box)
 
             arr, mask_arr, crop_params, crop_box = pp.pad_and_resize_image(
                 img,
