@@ -44,6 +44,8 @@ class BETRConfig:
 
     @property
     def box_dim(self) -> int:
+        if self.pose_representation == "plucker":
+            return 6
         return feature_channels(self.bbox_representation)
 
     @property
@@ -88,6 +90,11 @@ class BETR(nn.Module):
         p2 = cfg.patch_size**2
         P = cfg.tokens_per_frame
         B, T = masks.shape
+
+        if cfg.pose_representation == "plucker":
+            return self._plucker_forward(
+                pose_feat, masks, pretrain_rgb_feat, deterministic
+            )
 
         # --- bbox feature tokens -------------------------------------------------
         pose_tokens = layers.patchify(
@@ -169,3 +176,65 @@ class BETR(nn.Module):
         if cfg.box_dim == 8:
             out = 2.0 * jax.nn.sigmoid(out.astype(jnp.float32)) - 1.0
         return out
+
+    def _plucker_forward(
+        self,
+        rays: jax.Array,
+        masks: jax.Array,
+        pretrain_rgb_feat: Optional[jax.Array],
+        deterministic: bool,
+    ) -> jax.Array:
+        """Plücker-ray path (reference betr.py:136-140,163-164,319-322,
+        403-416 with patchify_rays=True): rays come in at patch resolution
+        (B, T, 6, g, g), are embedded per token with ray_emb, fused with the
+        adapted encoder tokens, and the query's rays are regressed back with
+        a per-token 6-dim head (no sigmoid).
+        """
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        B, T = masks.shape
+        g = rays.shape[-1]
+        P = g * g
+
+        assert pretrain_rgb_feat is not None, "plucker path requires encoder tokens"
+        rgb_tokens = layers.Mlp(
+            out_features=cfg.d_model,
+            dropout=cfg.adapter_dropout,
+            dtype=dtype,
+            name="input_transform",
+        )(pretrain_rgb_feat.astype(dtype), deterministic=deterministic)
+        rgb_tokens = nn.LayerNorm(
+            epsilon=1e-6, use_bias=False, use_scale=False, dtype=dtype, name="norm"
+        )(rgb_tokens)
+
+        ray_tokens = rays.astype(dtype).reshape(B, T, 6, P)
+        ray_tokens = jnp.swapaxes(ray_tokens, -1, -2)  # (B, T, P, 6)
+        ray_tokens = nn.Dense(cfg.d_model, dtype=dtype, name="ray_emb")(ray_tokens)
+        # Query frame rays are already masked to identity by the caller; a
+        # learnable query marks the position (same role as bbox path).
+        query_token = self.param(
+            "bbox_learnable_query", nn.initializers.zeros, (1, cfg.d_model), jnp.float32
+        )
+        ray_tokens = jnp.where(
+            masks[:, :, None, None], query_token.astype(dtype)[None, None], ray_tokens
+        )
+        fuse = ray_tokens + rgb_tokens
+        pos = layers.get_2d_sincos_pos_embed(cfg.d_model, g, g)
+        fuse = fuse + jnp.asarray(pos, dtype=dtype)[None, None]
+
+        x = fuse.reshape(B, T * P, cfg.d_model)
+        for i in range(cfg.num_decoder_layers):
+            x = layers.TransformerBlock(
+                num_heads=cfg.nhead,
+                mlp_ratio=cfg.mlp_ratio,
+                qk_norm=cfg.qk_norm,
+                qkv_bias=True,
+                ln_eps=1e-5,
+                dtype=dtype,
+                name=f"block_{i}",
+            )(x, deterministic=deterministic)
+        x = x.reshape(B, T, P, cfg.d_model)
+        query_feat = jnp.einsum("btpc,bt->bpc", x, masks.astype(x.dtype))
+        out = nn.Dense(6, dtype=dtype, name="camera_ray_proj")(query_feat)  # (B,P,6)
+        out = jnp.swapaxes(out, -1, -2).reshape(B, 6, g, g)
+        return out.astype(jnp.float32)

@@ -147,3 +147,47 @@ def forward_with_pose(
         "pred_kpts_2d_normalized": norm_kpts,
         "pred_poses": poses,
     }
+
+
+def forward_with_pose_rays(
+    model: BoxDreamer,
+    params: Any,
+    batch: Dict[str, jax.Array],
+) -> Dict[str, jax.Array]:
+    """Eval forward for the Plücker representation (reference
+    rotation_type='ray' path: BoxDreamerModel._prepare_camera_representation
+    :231-257 + process_prediction's ray branch): reference frames' rays are
+    built from their poses, the query's rays from an identity pose, and the
+    predicted query rays are converted back to a pose. Jittable.
+
+    Batch keys: images (B,T,3,H,W); poses (B,T,4,4); non_ndc_intrinsics
+    (B,T,3,3); query_idx (B,).
+    """
+    from boxdreamer_tpu.models import camera_repr
+
+    cfg = model.config
+    B, T = batch["images"].shape[:2]
+    camera_mask = camera_mask_from_query_idx(batch["query_idx"], T)
+
+    # Mask query poses to identity (BoxDreamerModel.py:221-226).
+    masked_poses = jnp.where(
+        camera_mask[:, :, None, None],
+        jnp.eye(4, dtype=batch["poses"].dtype),
+        batch["poses"],
+    )
+    K = batch["non_ndc_intrinsics"].astype(jnp.float32)
+    rays = camera_repr.make_camera_rays(
+        masked_poses.astype(jnp.float32),
+        K,
+        image_size=cfg.betr.img_size,
+        patch_size=cfg.betr.patch_size,
+    )
+    pred_rays = model.apply(params, batch["images"], rays, camera_mask)  # (B,6,g,g)
+
+    mask_f = camera_mask.astype(jnp.float32)
+    K_q = jnp.einsum("btij,bt->bij", K, mask_f)
+    pose_q = camera_repr.recover_pose_from_rays(
+        pred_rays[:, None], K_q[:, None], image_size=cfg.betr.img_size,
+        coordinate="object",
+    )[:, 0]
+    return {"pred_camera_rays": pred_rays, "pred_poses": pose_q}
