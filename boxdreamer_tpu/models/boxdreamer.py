@@ -81,9 +81,28 @@ class BoxDreamer(nn.Module):
         B, T = images.shape[:2]
 
         rgb_tokens = None
-        if cfg.encoder == "dino":
+        if cfg.encoder != "none":
             flat = images.reshape((B * T,) + images.shape[2:])
-            tokens = DinoViT(cfg.dino, name="encoder")(flat)
+            if cfg.encoder == "dino":
+                tokens = DinoViT(cfg.dino, name="encoder")(flat)
+            elif cfg.encoder == "resnet":
+                from boxdreamer_tpu.models.resnet import ResNet, ResNetConfig
+
+                tokens = ResNet(
+                    ResNetConfig(dtype=cfg.dino.dtype), name="encoder"
+                )(flat)
+                # layer4 tokens are at stride 32; resize to BETR's patch grid
+                # so they align 1:1 with the bbox-feature tokens.
+                g = cfg.betr.grid
+                side = int(round(tokens.shape[1] ** 0.5))
+                if side != g:
+                    fm = tokens.reshape(tokens.shape[0], side, side, tokens.shape[-1])
+                    fm = jax.image.resize(
+                        fm, (tokens.shape[0], g, g, tokens.shape[-1]), "bilinear"
+                    )
+                    tokens = fm.reshape(tokens.shape[0], g * g, tokens.shape[-1])
+            else:
+                raise ValueError(f"Invalid encoder name: {cfg.encoder}")
             if cfg.freeze_encoder:
                 # Frozen encoder (reference dinov2.py:48 predict under
                 # no_grad) — cut gradients, keep params out of the trainable
