@@ -1,0 +1,129 @@
+"""Structured experiment logging + failure-tolerant hooks.
+
+Equivalent of the reference LoggingUtils
+(src/lightning/utils/logging_utils/logging_utils.py:10-104): nested metric
+dict flattening, image logging, and the safe_operation decorator that
+catches exceptions in epoch-end hooks, logs the traceback, and (on
+multi-process runs) still hits the barrier so other hosts don't hang.
+Backends: JSONL file (always), TensorBoard via flax.metric_writers when
+available, wandb when installed and enabled.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+import traceback
+from typing import Any, Dict, Optional
+
+from boxdreamer_tpu.utils.log import ERROR, INFO
+
+
+def flatten_metrics(tree: Dict, prefix: str = "") -> Dict[str, float]:
+    """Flatten nested metric dicts to 'a/b/c' keys (reference
+    log_nested_dict)."""
+    out: Dict[str, float] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else str(k)
+        if isinstance(v, dict):
+            out.update(flatten_metrics(v, key))
+        else:
+            try:
+                out[key] = float(v)
+            except (TypeError, ValueError):
+                pass
+    return out
+
+
+class ExperimentLogger:
+    """JSONL metric logger with optional TensorBoard/wandb backends."""
+
+    def __init__(
+        self,
+        log_dir: str,
+        use_tensorboard: bool = False,
+        use_wandb: bool = False,
+        wandb_project: Optional[str] = None,
+    ):
+        self.log_dir = log_dir
+        os.makedirs(log_dir, exist_ok=True)
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._tb = None
+        self._wandb = None
+        if use_tensorboard:
+            try:
+                from flax.metrics import tensorboard
+
+                self._tb = tensorboard.SummaryWriter(log_dir)
+            except Exception as e:  # noqa: BLE001
+                ERROR(f"tensorboard writer unavailable: {e}")
+        if use_wandb:
+            try:
+                import wandb
+
+                self._wandb = wandb.init(project=wandb_project or "boxdreamer_tpu",
+                                         dir=log_dir)
+            except Exception as e:  # noqa: BLE001
+                ERROR(f"wandb unavailable: {e}")
+
+    def log_metrics(self, metrics: Dict, step: int):
+        flat = flatten_metrics(metrics)
+        rec = {"step": step, "time": time.time(), **flat}
+        self._jsonl.write(json.dumps(rec) + "\n")
+        self._jsonl.flush()
+        if self._tb is not None:
+            for k, v in flat.items():
+                self._tb.scalar(k, v, step)
+        if self._wandb is not None:
+            self._wandb.log(flat, step=step)
+
+    def log_image(self, name: str, image, step: int):
+        """image: PIL or HWC uint8 array; always dumped to disk, plus TB."""
+        import numpy as np
+
+        from boxdreamer_tpu.utils.vis import to_pil
+
+        pil = to_pil(image)
+        path = os.path.join(self.log_dir, f"{name.replace('/', '_')}_{step}.png")
+        pil.save(path)
+        if self._tb is not None:
+            self._tb.image(name, np.asarray(pil), step)
+
+    def close(self):
+        self._jsonl.close()
+        if self._tb is not None:
+            self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
+
+
+def safe_operation(exit_on_error: bool = False, barrier: bool = True):
+    """Decorator: catch + log exceptions, optionally exit; always try the
+    cross-process barrier so other hosts don't deadlock
+    (reference safe_operation, logging_utils.py:69-104)."""
+
+    def decorator(fn):
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            try:
+                return fn(*args, **kwargs)
+            except Exception:  # noqa: BLE001
+                ERROR(f"safe_operation caught in {fn.__name__}:\n"
+                      f"{traceback.format_exc()}")
+                if exit_on_error:
+                    raise SystemExit(1)
+                return None
+            finally:
+                if barrier:
+                    try:
+                        from boxdreamer_tpu.parallel.comm import synchronize
+
+                        synchronize()
+                    except Exception:  # noqa: BLE001
+                        pass
+
+        return wrapper
+
+    return decorator
