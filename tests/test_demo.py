@@ -1,0 +1,97 @@
+"""Demo pipeline tests: segmentation backends + the full frames->poses flow
+with a tiny model on the synthetic fixture."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+from PIL import Image
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "data"))
+from fixture import K_DEFAULT, cube_vertices, look_at_pose, project  # noqa: E402
+
+from boxdreamer_tpu.demo.pipeline import DemoConfig, DemoPipeline, default_intrinsics
+from boxdreamer_tpu.demo.segmentation import ThresholdSegmenter
+
+
+def test_threshold_segmenter_finds_object():
+    arr = np.zeros((96, 128, 3), np.uint8)
+    arr[30:60, 40:90] = [200, 150, 100]
+    # A small bright speckle elsewhere — largest-component keeps the object.
+    arr[5, 5] = [255, 255, 255]
+    seg = ThresholdSegmenter(threshold=0.1)
+    mask = seg.segment([Image.fromarray(arr)])[0]
+    box = seg.mask_to_box(mask)
+    np.testing.assert_allclose(box, [40, 30, 90, 60], atol=1)
+    assert not mask[5, 5]
+
+
+def test_default_intrinsics():
+    K = default_intrinsics((640, 480))
+    assert K[0, 0] == K[1, 1] == 1.2 * 640
+    assert K[0, 2] == 320 and K[1, 2] == 240
+
+
+def make_demo_frames(root, n=10):
+    """In-the-wild-style frames with pose sidecar files (the post-DUSt3R
+    layout the reference demo writes)."""
+    os.makedirs(root, exist_ok=True)
+    K = default_intrinsics((320, 240))
+    for i in range(n):
+        pose = look_at_pose(2 * np.pi * i / n)
+        pts = project(K, pose, cube_vertices())
+        box = [pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()]
+        img = Image.new("RGB", (320, 240), (3, 3, 5))
+        from PIL import ImageDraw
+
+        ImageDraw.Draw(img).rectangle([int(v) for v in box], fill=(190, 130, 70))
+        img.save(os.path.join(root, f"{i:04d}.png"))
+        np.savetxt(os.path.join(root, f"{i:04d}-pose.txt"), pose)
+    return root
+
+
+def test_demo_pipeline_end_to_end(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from boxdreamer_tpu.models import (
+        BETRConfig,
+        BoxDreamer,
+        BoxDreamerConfig,
+        DinoViTConfig,
+    )
+
+    frames = make_demo_frames(str(tmp_path / "frames"))
+    model = BoxDreamer(
+        BoxDreamerConfig(
+            betr=BETRConfig(
+                d_model=32, nhead=2, num_decoder_layers=1, patch_size=14,
+                img_size=28, dtype="float32",
+            ),
+            dino=DinoViTConfig(
+                img_size=28, patch_size=14, embed_dim=32, depth=1, num_heads=2,
+                dtype="float32",
+            ),
+            pnp_iters=3,
+        )
+    )
+    T, S = 4, 28
+    mask = jnp.zeros((1, T), dtype=bool).at[:, -1].set(True)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, T, 3, S, S)),
+        jnp.zeros((1, T, 8, S, S)),
+        mask,
+    )
+    cfg = DemoConfig(image_size=S, num_refs=3, segmenter="threshold")
+    pipeline = DemoPipeline(model, params, cfg)
+    out_dir = str(tmp_path / "out")
+    result = pipeline.run(frames, out_dir)
+    assert len(result["poses"]) == 10
+    assert result["bbox_3d"].shape == (8, 3)
+    assert os.path.exists(os.path.join(out_dir, "poses.npy"))
+    assert os.path.exists(os.path.join(out_dir, "overlay_0000.png"))
+    assert os.path.exists(os.path.join(out_dir, "references", "0000-pose.txt"))
+    for pose in result["poses"]:
+        assert np.isfinite(pose).all()
