@@ -16,6 +16,7 @@ Adapters (data/adapters/) populate the path dictionaries
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -103,7 +104,22 @@ class BaseDataset:
 
     # ------------------------------------------------------------------- io
 
+    def attach_pack(self, pack, root: str) -> None:
+        """Serve image reads from a boxpack store keyed by path relative to
+        ``root`` (the LMDB-equivalent fast path; reference base.py:174-217).
+        Falls through to the filesystem for keys missing from the pack."""
+        self._pack = pack
+        self._pack_root = root
+
     def read_image(self, path: str) -> Image.Image:
+        pack = getattr(self, "_pack", None)
+        if pack is not None:
+            import io as _io
+
+            rel = os.path.relpath(path, self._pack_root)
+            blob = pack.get(rel)
+            if blob is not None:
+                return Image.open(_io.BytesIO(blob)).convert("RGB")
         return Image.open(path).convert("RGB")
 
     def read_pose(self, path: str) -> np.ndarray:

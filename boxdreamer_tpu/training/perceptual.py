@@ -1,0 +1,102 @@
+"""VGG16 perceptual loss (Flax).
+
+Equivalent of the reference PerceptualLoss
+(src/loss/utils/perceptual.py:7-79): weighted multi-layer MSE over VGG16
+feature maps (used by the NVS-supervision variant). The backbone is a Flax
+VGG16 whose weights can be ported from a torchvision state dict
+(convert_torchvision_vgg16); with random weights it still defines a valid
+(random-feature) perceptual distance, so the loss is usable without any
+download.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from boxdreamer_tpu.models.dinov2 import IMAGENET_MEAN, IMAGENET_STD
+
+# VGG16 conv layout: (out_channels, n_convs) per block.
+_BLOCKS = [(64, 2), (128, 2), (256, 3), (512, 3), (512, 3)]
+# Default per-block weights (reference perceptual.py layer weighting).
+DEFAULT_WEIGHTS = (1.0, 0.75, 0.5, 0.25, 0.125)
+
+
+class VGG16Features(nn.Module):
+    """Returns the feature map after each conv block (before pooling)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jax.Array) -> List[jax.Array]:
+        """images: (B, 3, H, W) in [0, 1]."""
+        mean = jnp.asarray(IMAGENET_MEAN, jnp.float32).reshape(1, 3, 1, 1)
+        std = jnp.asarray(IMAGENET_STD, jnp.float32).reshape(1, 3, 1, 1)
+        x = (images.astype(jnp.float32) - mean) / std
+        x = jnp.transpose(x, (0, 2, 3, 1)).astype(self.dtype)
+        feats = []
+        conv_idx = 0
+        for bi, (ch, n_convs) in enumerate(_BLOCKS):
+            for ci in range(n_convs):
+                x = nn.Conv(ch, (3, 3), padding=1, dtype=self.dtype,
+                            name=f"conv{conv_idx}")(x)
+                x = nn.relu(x)
+                conv_idx += 1
+            feats.append(x)
+            x = nn.max_pool(x, (2, 2), (2, 2))
+        return feats
+
+
+class PerceptualLoss:
+    """Callable perceptual distance with frozen VGG params."""
+
+    def __init__(
+        self,
+        params: Any = None,
+        weights: Sequence[float] = DEFAULT_WEIGHTS,
+        input_size: int = 224,
+        rng: int = 0,
+    ):
+        self.model = VGG16Features()
+        if params is None:
+            params = self.model.init(
+                jax.random.PRNGKey(rng), jnp.zeros((1, 3, input_size, input_size))
+            )
+        self.params = params
+        self.weights = tuple(weights)
+
+    def __call__(self, pred: jax.Array, target: jax.Array) -> jax.Array:
+        """pred/target: (B, 3, H, W) in [0, 1] -> scalar loss."""
+        f_pred = self.model.apply(self.params, pred)
+        f_tgt = self.model.apply(self.params, jax.lax.stop_gradient(target))
+        loss = jnp.asarray(0.0, jnp.float32)
+        for w, a, b in zip(self.weights, f_pred, f_tgt):
+            loss = loss + w * jnp.mean(
+                (a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2
+            )
+        return loss
+
+
+def convert_torchvision_vgg16(state: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    """torchvision vgg16 'features.N.weight' dict -> VGG16Features params."""
+    # torchvision indices of conv layers in vgg16.features.
+    conv_positions = [0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28]
+    params = {}
+    for i, pos in enumerate(conv_positions):
+        w = state[f"features.{pos}.weight"]
+        b = state[f"features.{pos}.bias"]
+        params[f"conv{i}"] = {
+            "kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0)),
+            "bias": b,
+        }
+    return {"params": params}
+
+
+def psnr(pred: jax.Array, target: jax.Array, max_val: float = 1.0) -> jax.Array:
+    """Peak signal-to-noise ratio (reference Metrics.compute_psnr path)."""
+    mse = jnp.mean((pred.astype(jnp.float32) - target.astype(jnp.float32)) ** 2)
+    return 10.0 * jnp.log10(max_val**2 / jnp.maximum(mse, 1e-12))
