@@ -71,7 +71,9 @@ class Trainer:
         optim_cfg: OptimConfig,
         trainer_cfg: TrainerConfig,
         metrics_config: MetricsConfig = MetricsConfig(),
+        logger=None,  # ExperimentLogger (utils/logging_utils.py)
     ):
+        self.logger = logger
         self.model = model
         self.train_loss = train_loss
         self.val_loss = val_loss
@@ -194,16 +196,24 @@ class Trainer:
                         dt = time.perf_counter() - t_log
                         sps = cfg.log_every_n_steps / dt
                         t_log = time.perf_counter()
+                        # Learning-rate monitor (reference LR monitor callback,
+                        # configs/callbacks/default.yaml).
+                        from boxdreamer_tpu.training.optim import build_schedule
+
+                        lr = float(build_schedule(self.optim_cfg)(total_steps))
                         rec = {
                             "epoch": epoch,
                             "step": total_steps,
                             "loss": loss_val,
+                            "lr": lr,
                             "steps_per_sec": sps,
                         }
                         self._history.append(rec)
+                        if self.logger is not None:
+                            self.logger.log_metrics(rec, total_steps)
                         INFO(
                             f"epoch {epoch} step {total_steps} "
-                            f"loss {loss_val:.5f} ({sps:.2f} it/s)"
+                            f"loss {loss_val:.5f} lr {lr:.2e} ({sps:.2f} it/s)"
                         )
                     self.ckpt.maybe_save_step(self.state)
                     if max_steps and total_steps >= max_steps:
