@@ -165,14 +165,20 @@ class BaseDataset:
                     raise
         raise RuntimeError("unreachable")
 
-    def get_item(self, idx: int) -> Dict[str, np.ndarray]:
+    def get_item(
+        self, idx: int, n_total: Optional[int] = None
+    ) -> Dict[str, np.ndarray]:
+        """``n_total`` overrides the sequence length for this sample — used
+        by the dynamic-length batch sampler so every sample in a batch shares
+        one length (reference DynamicBatchSampler contract)."""
         cat, q_idx = self._get_category(idx)
         cfg = self.config
 
-        n_total = cfg.length
-        if cfg.dynamic_length is not None:
-            lo, hi = cfg.dynamic_length
-            n_total = int(self._rng.integers(lo, hi + 1))
+        if n_total is None:
+            n_total = cfg.length
+            if cfg.dynamic_length is not None:
+                lo, hi = cfg.dynamic_length
+                n_total = int(self._rng.integers(lo, hi + 1))
         n_refs = n_total - 1
 
         ref_db_len = self.cat_len["ref"][cat]

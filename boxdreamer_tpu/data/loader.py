@@ -87,6 +87,34 @@ class DynamicBatchSampler:
             yield L, batch
 
 
+class DynamicLengthLoader:
+    """Loader over a DynamicBatchSampler: each batch shares one sequence
+    length L, with batch size rescaled to keep the B*T token budget
+    (reference make_dataloader + DynamicBatchSampler + the dynamic concat
+    dataset, data_loader.py:13-56)."""
+
+    def __init__(
+        self,
+        dataset,
+        base_batch_size: int,
+        base_length: int,
+        min_length: int,
+        max_length: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.sampler = DynamicBatchSampler(
+            len(dataset), base_batch_size, base_length, min_length, max_length,
+            shuffle=shuffle, seed=seed, drop_last=drop_last,
+        )
+
+    def __iter__(self):
+        for L, idxs in self.sampler:
+            yield collate([self.dataset.get_item(i, n_total=L) for i in idxs])
+
+
 class DataLoader:
     """Minimal threaded prefetch loader (replaces torch DataLoader;
     reference data_loader.py:13-56)."""
