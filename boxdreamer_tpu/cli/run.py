@@ -42,7 +42,10 @@ def build_everything(cfg):
         mesh_model=int(cfg.trainer.mesh.model),
         seed=int(cfg.seed),
     )
-    trainer = Trainer(model, train_loss, test_loss, optim_cfg, tcfg, metrics_cfg)
+    logger = builders.build_logger(cfg)
+    trainer = Trainer(
+        model, train_loss, test_loss, optim_cfg, tcfg, metrics_cfg, logger=logger
+    )
     return model, trainer
 
 
@@ -129,6 +132,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         metrics_config=build_metrics_config(cfg),
         batch_size=int(cfg.datamodule.batch_size),
         num_workers=int(cfg.datamodule.num_workers),
+        dense_cfg=builders.build_dense_config(cfg),
     )
     agg = ev.run(test_sets)
     INFO(f"wrote test_metrics.json ({len(agg)} metrics)")

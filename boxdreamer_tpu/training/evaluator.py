@@ -56,13 +56,24 @@ class Evaluator:
         metrics_config: MetricsConfig = MetricsConfig(),
         batch_size: int = 8,
         num_workers: int = 2,
+        dense_cfg=None,  # DenseConfig; dense-reference eval when .enable
     ):
         self.model = model
         self.params = params
         self.metrics_config = metrics_config
         self.batch_size = batch_size
         self.num_workers = num_workers
-        self._eval_step = make_eval_step(model)
+        if dense_cfg is not None and dense_cfg.enable:
+            import functools
+
+            from boxdreamer_tpu.models.dense import dense_predict
+
+            dense_fn = jax.jit(
+                functools.partial(dense_predict, model, dense_cfg=dense_cfg)
+            )
+            self._eval_step = lambda params, batch: (dense_fn(params, batch), {})
+        else:
+            self._eval_step = make_eval_step(model)
 
     def run_dataset(self, dataset, dataloader_id: int = 0) -> Metrics:
         metrics = Metrics(self.metrics_config, dataloader_id=dataloader_id)

@@ -49,6 +49,42 @@ def build_model(cfg: ConfigNode) -> BoxDreamer:
     return BoxDreamer(model_cfg)
 
 
+def build_dense_config(cfg: ConfigNode):
+    """dense_cfg group -> DenseConfig (reference transformer.yaml:25-34)."""
+    from boxdreamer_tpu.models.dense import DenseConfig
+
+    d = cfg.model.modules.get("dense_cfg")
+    if d is None:
+        return DenseConfig()
+    return DenseConfig(
+        enable=bool(d.get("enable", False)),
+        filter_enable=bool(d.get("filter_enable", True)),
+        filter=d.get("filter", "dino"),
+        filter_topk=int(d.get("filter_topk", 5)),
+        multi_round=bool(d.get("multi_round", False)),
+        sub_batch_size=int(d.get("sub_batch_size", 5)),
+        fine_level=bool(d.get("fine_level", False)),
+        fine_topk=int(d.get("fine_topk", 5)),
+    )
+
+
+def build_logger(cfg: ConfigNode):
+    """logger group -> ExperimentLogger (reference configs/logger/default.yaml
+    in_use selection, run.py:77-84)."""
+    from boxdreamer_tpu.utils.logging_utils import ExperimentLogger
+
+    lg = cfg.get("logger")
+    if lg is None:
+        return None
+    in_use = lg.get("in_use", ["jsonl"])
+    return ExperimentLogger(
+        log_dir=lg.get("log_dir", "logs"),
+        use_tensorboard="tensorboard" in in_use,
+        use_wandb="wandb" in in_use,
+        wandb_project=lg.get("wandb", {}).get("project"),
+    )
+
+
 def build_losses(cfg: ConfigNode) -> Tuple[Loss, Loss]:
     lc = cfg.model.loss
     return loss_from_config(lc.train.losses), loss_from_config(lc.test.losses)
