@@ -86,6 +86,10 @@ class ObjaverseDataset(BaseDataset):
         for table in ("images", "boxes", "poses", "intrinsics", "cat_len"):
             getattr(self, table)["ref"] = getattr(self, table)[split]
         self.bbox_3d_paths["ref"] = self.bbox_3d_paths[split]
+        if split == "train":
+            # SUN2012 background replacement pool for augmentation
+            # (reference objaverse.py:438-460 + aug add_background).
+            self.bg_image_paths = self.background_images()
 
     def background_images(self):
         """SUN2012 background pool for augmentation (reference

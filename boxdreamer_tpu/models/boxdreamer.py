@@ -101,6 +101,10 @@ class BoxDreamer(nn.Module):
                         fm, (tokens.shape[0], g, g, tokens.shape[-1]), "bilinear"
                     )
                     tokens = fm.reshape(tokens.shape[0], g * g, tokens.shape[-1])
+            elif cfg.encoder == "spa":
+                # Declared-but-unimplemented in the reference too
+                # (BoxDreamerModel.py:102-103).
+                raise NotImplementedError("SPA encoder is not supported yet")
             else:
                 raise ValueError(f"Invalid encoder name: {cfg.encoder}")
             if cfg.freeze_encoder:

@@ -104,7 +104,10 @@ class Evaluator:
                             model_path = gt
                     model_pts = get_all_points_on_model(model_path)
                 cat = batch.get("cat", ["all"] * n_valid)[b]
+                paths = batch.get("original_images")
+                image_path = paths[b][q] if paths is not None else None
                 metrics.update(
+                    image_path=image_path,
                     pose_pred=pred_poses[b],
                     pose_gt=np.asarray(batch["original_poses"][b][q], dtype=np.float64),
                     K=np.asarray(
@@ -130,6 +133,13 @@ class Evaluator:
         for i, ds in enumerate(datasets):
             m = self.run_dataset(ds, dataloader_id=i)
             agg.update(m.aggregate())
+            if output_json:
+                m.save_pose_dict(
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(output_json)),
+                        f"path_pose_dict_{i}.npy",
+                    )
+                )
         if output_json:
             import json
 

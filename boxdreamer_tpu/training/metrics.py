@@ -136,6 +136,9 @@ class Metrics:
         self._store: Dict[str, Dict[str, List[float]]] = defaultdict(
             lambda: defaultdict(list)
         )
+        # Per-image pose records for the qualitative tooling
+        # (reference path_pose_dict npy dumps, metric_utils.py:668-678).
+        self._pose_records: Dict[str, Dict[str, np.ndarray]] = defaultdict(dict)
 
     def _append(self, name: str, cat: str, value: float):
         self._store[name][cat].append(value)
@@ -151,12 +154,15 @@ class Metrics:
         scale: np.ndarray | float = 1.0,
         coordinate_transform: Optional[np.ndarray] = None,
         cat: str = "all",
+        image_path: Optional[str] = None,
     ):
         """Add one evaluation sample (pose_gt is the original/unnormalized
         GT; pose_pred is in normalized coords and gets un-normalized here)."""
         if coordinate_transform is None:
             coordinate_transform = np.eye(4)
         pred = denormalize_pred_pose(np.asarray(pose_pred), scale, coordinate_transform)
+        if image_path is not None:
+            self._pose_records[cat][image_path] = pred.astype(np.float32)
         gt = np.asarray(pose_gt, dtype=np.float64)
 
         if "pose_error" in self.config.metrics_list:
@@ -227,3 +233,11 @@ class Metrics:
         BoxDreamer_lightning_model.py:265-268)."""
         with open(path, "w") as f:
             json.dump(self.aggregate(), f, indent=2)
+
+    def save_pose_dict(self, path: Optional[str] = None):
+        """Dump {cat: {image_path: pred_pose}} (reference
+        path_pose_dict_<id>.npy, metric_utils.py:677-678) — the input format
+        of tools/vis_results.py."""
+        path = path or f"path_pose_dict_{self.dataloader_id}.npy"
+        np.save(path, dict(self._pose_records), allow_pickle=True)
+        return path
