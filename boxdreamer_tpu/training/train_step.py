@@ -85,6 +85,10 @@ def make_train_step(
         T = batch["images"].shape[1]
         camera_mask = camera_mask_from_query_idx(batch["query_idx"], T)
 
+        needs_regression_boxes = any(
+            t.pred_key == "regression_boxes" for t in loss.terms
+        )
+
         def loss_fn(params):
             pred = model.apply(
                 params,
@@ -99,6 +103,21 @@ def make_train_step(
                 batch["bbox_feat"], pred, camera_mask
             )
             data["camera_mask"] = camera_mask
+            if needs_regression_boxes and "bbox_proj_crop" in batch:
+                # Optional keypoint-regression term (reference
+                # calculate_bb8_projections, prediction_utils.py:106-136, and
+                # the commented regression_boxes loss in
+                # configs/model/loss/default.yaml). Soft-argmax keeps the
+                # decode differentiable end-to-end (TPU-native improvement
+                # over the reference's hard top-k).
+                from boxdreamer_tpu.ops.decode import decode_heatmap_soft_argmax
+
+                norm_kpts, _ = decode_heatmap_soft_argmax(pred)
+                data["regression_boxes"] = jnp.where(
+                    camera_mask[:, :, None, None],
+                    norm_kpts[:, None],
+                    batch["bbox_proj_crop"],
+                )
             return loss(data)
 
         (total, details), grads = jax.value_and_grad(loss_fn, has_aux=True)(
