@@ -304,7 +304,9 @@ class BaseDataset:
                 img,
                 S,
                 bbox_anno=pp.square_bbox(box) if cfg.use_bbox and box is not None else None,
-                mask=None,
+                # use_mask multiplies the crop by a bbox-rectangle mask
+                # (reference base.py:455 make_mask_by_bbox + pad_and_resize).
+                mask=pp.make_mask_by_bbox(box, img.size) if cfg.use_mask else None,
                 bbox_obj=org_box if (cfg.use_bbox and cfg.mask_bg) else None,
             )
             K_crop = pp.adjust_intrinsics_for_crop_resize(K, crop_box, S)

@@ -41,6 +41,20 @@ def project_points(K: np.ndarray, pose: np.ndarray, pts: np.ndarray) -> np.ndarr
     return proj[:, :2] / proj[:, 2:3]
 
 
+def make_mask_by_bbox(
+    bbox: Optional[np.ndarray], size_wh: Tuple[int, int]
+) -> Image.Image:
+    """Rectangle mask image from a bbox; full-white when bbox is None
+    (reference make_mask_by_bbox, bbox_utils.py:37-59)."""
+    w, h = size_wh
+    if bbox is None:
+        return Image.fromarray(np.full((h, w), 255, np.uint8))
+    mask = np.zeros((h, w), np.uint8)
+    x0, y0, x1, y1 = (int(v) for v in bbox)
+    mask[max(y0, 0) : max(y1, 0), max(x0, 0) : max(x1, 0)] = 255
+    return Image.fromarray(mask)
+
+
 def pad_image_for_bbox(
     image: Image.Image, bbox: np.ndarray
 ) -> Tuple[Image.Image, Optional[dict]]:

@@ -45,6 +45,21 @@ def live_buffer_bytes() -> int:
     return total
 
 
+def to_host(tree: Any, dtype=None) -> Any:
+    """Copy a pytree of device arrays to host numpy (reference
+    DataProcessor.back_to_cpu, data_utils.py:18-39 — the CPU offload +
+    optional upcast used before metric computation)."""
+    import numpy as np
+
+    def convert(x):
+        if isinstance(x, jax.Array):
+            arr = np.asarray(x)
+            return arr.astype(dtype) if dtype is not None else arr
+        return x
+
+    return jax.tree_util.tree_map(convert, tree)
+
+
 def free_pytree(tree: Any) -> None:
     """Explicitly delete all device arrays in a pytree (reference
     MemoryManager.release equivalent)."""
