@@ -37,6 +37,7 @@ class BETRConfig:
     pose_representation: str = "bb8"  # 'bb8' | 'plucker'
     bbox_representation: str = "heatmap"  # 'heatmap' | 'voting' | 'conf_voting'
     use_pretrained: bool = True  # fuse DINOv2 tokens (use_rgb + dino encoder)
+    diff_emb: bool = False  # separate query/ref input embeddings (from-scratch)
     mlp_ratio: float = 4.0
     qk_norm: bool = True
     adapter_dropout: float = 0.1
@@ -145,7 +146,17 @@ class BETR(nn.Module):
                 pose_tokens,
             )
             fuse = jnp.concatenate([rgb_tokens, pose_tokens], axis=-1)
-            fuse = nn.Dense(cfg.d_model, dtype=dtype, name="input_emb")(fuse)
+            if cfg.diff_emb:
+                # Separate query/reference embeddings (reference diff_emb
+                # path, betr.py:196-209,373-394) — `where`-combined instead
+                # of boolean scatter.
+                q_emb = nn.Dense(cfg.d_model, dtype=dtype, name="input_query_rgb_emb")(
+                    fuse
+                )
+                r_emb = nn.Dense(cfg.d_model, dtype=dtype, name="input_ref_emb")(fuse)
+                fuse = jnp.where(masks[:, :, None, None], q_emb, r_emb)
+            else:
+                fuse = nn.Dense(cfg.d_model, dtype=dtype, name="input_emb")(fuse)
 
         # --- positional embedding ------------------------------------------------
         pos = layers.get_2d_sincos_pos_embed(cfg.d_model, cfg.grid, cfg.grid)

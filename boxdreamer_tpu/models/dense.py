@@ -39,6 +39,7 @@ class DenseConfig:
     sub_batch_size: int = 5
     fine_level: bool = False
     fine_topk: int = 5
+    dense_mem_friendly: bool = False  # lax.map over sub-batches (less VMEM)
     ransac_threshold: float = 2.0
     ransac_hypotheses: int = 128
 
@@ -246,12 +247,23 @@ def dense_predict(
     bbox_3d_q = batch["bbox_3d"][:, N].astype(jnp.float32)
 
     # --- filter ----------------------------------------------------------
-    if dense_cfg.filter_enable and dense_cfg.filter == "dino" and N > dense_cfg.filter_topk:
-        scores = dino_similarity(ref_tokens, q_tokens, ref_images, q_images)
-        _, ref_tokens, ref_bbox = topk_gather(
-            scores, dense_cfg.filter_topk, ref_tokens, ref_bbox
-        )
-        N = dense_cfg.filter_topk
+    if dense_cfg.filter_enable and N > dense_cfg.filter_topk:
+        if dense_cfg.filter == "dino":
+            scores = dino_similarity(ref_tokens, q_tokens, ref_images, q_images)
+        elif dense_cfg.filter == "gt-neighbor" and "poses" in batch:
+            # Oracle filtering by GT pose similarity (reference
+            # ref_type 'gt-neighbor', matching.make_gt_neighbor_score).
+            camera_mask = jnp.zeros((B, T), dtype=bool).at[:, -1].set(True)
+            scores = gt_neighbor_score(
+                batch["poses"].astype(jnp.float32), camera_mask
+            )
+        else:
+            scores = None
+        if scores is not None:
+            _, ref_tokens, ref_bbox = topk_gather(
+                scores, dense_cfg.filter_topk, ref_tokens, ref_bbox
+            )
+            N = dense_cfg.filter_topk
 
     if not dense_cfg.multi_round:
         tokens_all = jnp.concatenate([ref_tokens, q_tokens[:, None]], axis=1)
@@ -268,14 +280,27 @@ def dense_predict(
     sub = dense_cfg.sub_batch_size
     bf, tk, cm = sub_batchify(ref_bbox, ref_tokens, q_tokens, sub)
     S = bf.shape[1]
-    heatmaps = decoder_apply(
-        model,
-        params,
-        bf.reshape((B * S,) + bf.shape[2:]),
-        cm.reshape(B * S, sub + 1),
-        tk.reshape((B * S,) + tk.shape[2:]),
-    )  # (B*S, c, H, W)
-    heatmaps = heatmaps.reshape((B, S) + heatmaps.shape[1:])
+    if dense_cfg.dense_mem_friendly:
+        # One sub-batch at a time (reference dense_mem_friendly,
+        # dense_processing.py:52-66) — lax.map trades speed for peak memory.
+        heatmaps = jax.lax.map(
+            lambda args: decoder_apply(model, params, args[0], args[1], args[2]),
+            (
+                jnp.swapaxes(bf, 0, 1),
+                jnp.swapaxes(cm, 0, 1),
+                jnp.swapaxes(tk, 0, 1),
+            ),
+        )  # (S, B, c, H, W)
+        heatmaps = jnp.swapaxes(heatmaps, 0, 1)
+    else:
+        heatmaps = decoder_apply(
+            model,
+            params,
+            bf.reshape((B * S,) + bf.shape[2:]),
+            cm.reshape(B * S, sub + 1),
+            tk.reshape((B * S,) + tk.shape[2:]),
+        )  # (B*S, c, H, W)
+        heatmaps = heatmaps.reshape((B, S) + heatmaps.shape[1:])
 
     # Pool proposals: all S x 8 corner observations into one RANSAC PnP
     # (reference recover_pose_from_dense_bb8, box_utils.py:202-304).

@@ -143,3 +143,54 @@ def test_dense_predict_fine_level(model_and_params):
     out = D.dense_predict(model, params, batch, cfg)
     assert out["pred_poses"].shape == (1, 4, 4)
     assert np.isfinite(np.asarray(out["pred_poses"])).all()
+
+
+def test_dense_predict_mem_friendly(model_and_params):
+    model, params = model_and_params
+    batch = make_batch(jax.random.PRNGKey(5))
+    cfg = D.DenseConfig(
+        enable=True, filter_enable=False, multi_round=True, sub_batch_size=3,
+        dense_mem_friendly=True, ransac_hypotheses=8,
+    )
+    out = D.dense_predict(model, params, batch, cfg)
+    assert out["pred_poses"].shape == (1, 4, 4)
+    assert np.isfinite(np.asarray(out["pred_poses"])).all()
+    # Must match the non-mem-friendly path exactly (same math, different
+    # scheduling).
+    cfg2 = D.DenseConfig(
+        enable=True, filter_enable=False, multi_round=True, sub_batch_size=3,
+        dense_mem_friendly=False, ransac_hypotheses=8,
+    )
+    out2 = D.dense_predict(model, params, batch, cfg2)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_poses"]), np.asarray(out2["pred_poses"]), atol=1e-4
+    )
+
+
+def test_dense_predict_gt_neighbor_filter(model_and_params):
+    model, params = model_and_params
+    batch = make_batch(jax.random.PRNGKey(6))
+    cfg = D.DenseConfig(enable=True, filter="gt-neighbor", filter_topk=4)
+    out = D.dense_predict(model, params, batch, cfg)
+    assert out["pred_poses"].shape == (1, 4, 4)
+
+
+def test_betr_diff_emb_path():
+    import dataclasses as _dc
+
+    from boxdreamer_tpu.models import BETR, BETRConfig
+
+    cfg = BETRConfig(
+        d_model=32, nhead=2, num_decoder_layers=1, patch_size=14, img_size=28,
+        dtype="float32", use_pretrained=False, diff_emb=True,
+    )
+    model = BETR(cfg)
+    B, T = 1, 2
+    pose_feat = jax.random.uniform(jax.random.PRNGKey(0), (B, T, 8, 28, 28))
+    rgbs = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 3, 28, 28))
+    masks = jnp.zeros((B, T), dtype=bool).at[:, 1].set(True)
+    params = model.init(jax.random.PRNGKey(2), pose_feat, rgbs, masks, None)
+    assert "input_query_rgb_emb" in params["params"]
+    assert "input_ref_emb" in params["params"]
+    out = model.apply(params, pose_feat, rgbs, masks, None)
+    assert out.shape == (B, 8, 28, 28)
