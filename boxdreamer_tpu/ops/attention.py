@@ -154,11 +154,52 @@ def flash_attention(
     return out[:, :N, :D].reshape(B, H, N, D)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _flash_attention_ad(q, k, v, scale):
+    return flash_attention(q, k, v, scale)
+
+
+def _flash_ad_fwd(q, k, v, scale):
+    return flash_attention(q, k, v, scale), (q, k, v)
+
+
+def _flash_ad_bwd(scale, residuals, g):
+    """Standard attention backward in XLA (f32 accumulation). pallas_call has
+    no autodiff rule, so training recomputes the (N, N) attention matrix for
+    the backward — fine at BETR/DINOv2 sequence lengths; the forward stays
+    on the flash kernel."""
+    q, k, v = residuals
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    g32 = g.astype(jnp.float32)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32, preferred_element_type=jnp.float32)
+    dp = jnp.einsum(
+        "bhqd,bhkd->bhqk", g32, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    )
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum(
+        "bhqk,bhkd->bhqd", ds, k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dk = jnp.einsum(
+        "bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_attention_ad.defvjp(_flash_ad_fwd, _flash_ad_bwd)
+
+
 def multi_head_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: float
 ) -> jax.Array:
-    """Backend dispatch: Pallas kernel on TPU, XLA reference elsewhere."""
+    """Backend dispatch: Pallas kernel on TPU (with an XLA custom-VJP
+    backward so training differentiates), XLA reference elsewhere."""
     platform = jax.default_backend()
     if platform == "tpu":
-        return flash_attention(q, k, v, scale)
+        return _flash_attention_ad(q, k, v, scale)
     return mha_reference(q, k, v, scale)

@@ -60,3 +60,20 @@ def test_dispatch_runs_on_cpu():
     q, k, v = make_qkv(jax.random.PRNGKey(4), N=128, D=32)
     out = attention.multi_head_attention(q, k, v, 32**-0.5)
     assert out.shape == q.shape
+
+
+def test_custom_vjp_backward_matches_autodiff():
+    """The hand-written attention backward (used under the TPU flash kernel)
+    must match jax.grad of the reference implementation."""
+    q, k, v = make_qkv(jax.random.PRNGKey(7), B=1, H=2, N=64, D=32)
+    scale = 32**-0.5
+    g = jax.random.normal(jax.random.PRNGKey(8), q.shape)
+
+    def ref_loss(q, k, v):
+        return (attention.mha_reference(q, k, v, scale) * g).sum()
+
+    dq_ref, dk_ref, dv_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    dq, dk, dv = attention._flash_ad_bwd(scale, (q, k, v), g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=1e-4)
