@@ -20,8 +20,8 @@ import jax.numpy as jnp
 BASELINE_FPS = 40.0  # RTX 4090, reference README.md:371
 N_REFS = 5
 SIZE = 224
-WARMUP = 5
-ITERS = 50
+WARMUP = 10
+ITERS = 100
 
 
 def main():

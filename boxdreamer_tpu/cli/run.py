@@ -96,11 +96,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     import jax.numpy as jnp
 
     sample = test_sets[0][0]
-    import jax as _jax
-
     mask = jnp.zeros((1, sample["images"].shape[0]), dtype=bool).at[:, -1].set(True)
     params = model.init(
-        _jax.random.PRNGKey(int(cfg.seed)),
+        jax.random.PRNGKey(int(cfg.seed)),
         jnp.asarray(sample["images"])[None],
         jnp.asarray(sample["bbox_feat"])[None],
         mask,
