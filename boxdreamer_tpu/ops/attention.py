@@ -194,12 +194,20 @@ def _flash_ad_bwd(scale, residuals, g):
 _flash_attention_ad.defvjp(_flash_ad_fwd, _flash_ad_bwd)
 
 
+# Below this sequence length XLA's fused attention wins on TPU (measured on
+# v5e at BETR/DINOv2 shapes: XLA ~0.8x the flash kernel's time at N=1536,
+# flash ~0.8x XLA at N=4096); the flash kernel takes over where the (N, N)
+# score materialization starts to hurt.
+FLASH_MIN_SEQ_LEN = 2048
+
+
 def multi_head_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: float
 ) -> jax.Array:
-    """Backend dispatch: Pallas kernel on TPU (with an XLA custom-VJP
-    backward so training differentiates), XLA reference elsewhere."""
+    """Backend dispatch: on TPU, XLA fused attention for short sequences and
+    the Pallas flash kernel (with an XLA custom-VJP backward so training
+    differentiates) beyond FLASH_MIN_SEQ_LEN; XLA reference elsewhere."""
     platform = jax.default_backend()
-    if platform == "tpu":
+    if platform == "tpu" and q.shape[-2] > FLASH_MIN_SEQ_LEN:
         return _flash_attention_ad(q, k, v, scale)
     return mha_reference(q, k, v, scale)
