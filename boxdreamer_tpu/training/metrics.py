@@ -136,9 +136,12 @@ class Metrics:
         self._store: Dict[str, Dict[str, List[float]]] = defaultdict(
             lambda: defaultdict(list)
         )
-        # Per-image pose records for the qualitative tooling
-        # (reference path_pose_dict npy dumps, metric_utils.py:668-678).
+        # Per-image pose/error records for the qualitative tooling
+        # (reference path_pose_dict / path_error_dict npy dumps,
+        # metric_utils.py:668-678).
         self._pose_records: Dict[str, Dict[str, np.ndarray]] = defaultdict(dict)
+        self._error_records: Dict[str, Dict[str, float]] = defaultdict(dict)
+        self._last_image_path = None
 
     def _append(self, name: str, cat: str, value: float):
         self._store[name][cat].append(value)
@@ -163,6 +166,9 @@ class Metrics:
         pred = denormalize_pred_pose(np.asarray(pose_pred), scale, coordinate_transform)
         if image_path is not None:
             self._pose_records[cat][image_path] = pred.astype(np.float32)
+            self._last_image_path = (cat, image_path)
+        else:
+            self._last_image_path = None
         gt = np.asarray(pose_gt, dtype=np.float64)
 
         if "pose_error" in self.config.metrics_list:
@@ -170,6 +176,9 @@ class Metrics:
             self._append("R_errs", cat, r)
             self._append("t_errs", cat, t)
             self._append("inplane_R_errs", cat, ip)
+            if self._last_image_path is not None:
+                c, p = self._last_image_path
+                self._error_records[c][p] = float(r)
         if model_pts is not None and "ADD" in self.config.metrics_list:
             m = add_metrics(model_pts, pred[:3], gt[:3])
             self._append("ADD_0.1d", cat, m["add_score"])
@@ -240,4 +249,7 @@ class Metrics:
         of tools/vis_results.py."""
         path = path or f"path_pose_dict_{self.dataloader_id}.npy"
         np.save(path, dict(self._pose_records), allow_pickle=True)
+        err_path = path.replace("path_pose_dict", "path_error_dict")
+        if err_path != path:
+            np.save(err_path, dict(self._error_records), allow_pickle=True)
         return path
