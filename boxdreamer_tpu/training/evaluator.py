@@ -63,6 +63,11 @@ class Evaluator:
         self.metrics_config = metrics_config
         self.batch_size = batch_size
         self.num_workers = num_workers
+        # Qualitative panel collection (reference test_step -> VisUtils.add_data,
+        # BoxDreamer_lightning_model.py:219-247); render() after run().
+        from boxdreamer_tpu.utils.vis import VisUtils
+
+        self.vis = VisUtils(max_samples=8)
         if dense_cfg is not None and dense_cfg.enable:
             import functools
 
@@ -106,6 +111,18 @@ class Evaluator:
                 cat = batch.get("cat", ["all"] * n_valid)[b]
                 paths = batch.get("original_images")
                 image_path = paths[b][q] if paths is not None else None
+                if len(self.vis.samples) < self.vis.max_samples:
+                    # Overlay in the crop frame: predicted pose (still in
+                    # normalized/crop coordinates) vs the normalized GT pose
+                    # with the crop intrinsics.
+                    self.vis.add_data(
+                        image=np.asarray(batch["images"][b][q]),
+                        K=np.asarray(batch["non_ndc_intrinsics"][b][q]),
+                        pose_pred=pred_poses[b],
+                        pose_gt=np.asarray(batch["poses"][b][q]),
+                        bbox_3d=np.asarray(batch["bbox_3d"][b][q]),
+                        heatmaps=np.asarray(out["pred_bbox"][b]),
+                    )
                 metrics.update(
                     image_path=image_path,
                     pose_pred=pred_poses[b],
@@ -145,4 +162,12 @@ class Evaluator:
 
             with open(output_json, "w") as f:
                 json.dump(agg, f, indent=2, default=float)
+            panel = self.vis.render()
+            if panel is not None:
+                panel.save(
+                    os.path.join(
+                        os.path.dirname(os.path.abspath(output_json)),
+                        "qualitative_panel.png",
+                    )
+                )
         return agg
