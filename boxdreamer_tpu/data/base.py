@@ -51,6 +51,11 @@ class DatasetConfig:
     mask_bg: bool = True
     precision: str = "float32"  # dtype of returned arrays
     seed: Optional[int] = None
+    # When True, skip host-side bbox feature-map generation and ship only
+    # the (T, 8, 2) pixel projections ('bbox_proj_pix'); the train/eval
+    # steps generate the maps on device (ops/heatmap.py) — 75000x less
+    # loader output per frame and ~14 ms/sample host work removed.
+    device_bbox_feat: bool = False
     # Training-time augmentation (reference aug.py wiring in base.py:418-533):
     augmentation: Optional[object] = None  # AugmentationConfig
     pose_augmentation: bool = False
@@ -380,7 +385,8 @@ class BaseDataset:
             batch["bbox_3d"] = bbox3d_rep.astype(dtype)
             batch["bbox_3d_original"] = bbox3d_rep.astype(dtype)
             batch["bbox_proj_crop"] = norm_proj.astype(dtype)
-            if cfg.pose_representation == "bb8":
+            batch["bbox_proj_pix"] = proj_crop.astype(dtype)  # unclamped pixels
+            if cfg.pose_representation == "bb8" and not cfg.device_bbox_feat:
                 batch["bbox_feat"] = pp.make_bbox_features_np(
                     proj_crop, cfg.bbox_representation, S, S
                 ).astype(dtype)

@@ -34,6 +34,22 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
 
 
+def ensure_bbox_feat(batch: Dict[str, jax.Array], model: BoxDreamer) -> Dict:
+    """Generate bbox feature maps on device from the (B, T, 8, 2) pixel
+    projections when the loader shipped only those
+    (DatasetConfig.device_bbox_feat) — the jittable twin of the host
+    pipeline's make_bbox_features."""
+    if "bbox_feat" in batch:
+        return batch
+    from boxdreamer_tpu.ops.heatmap import make_bbox_features
+
+    S = model.config.betr.img_size
+    feat = make_bbox_features(
+        batch["bbox_proj_pix"], model.config.bbox_representation, S, S
+    )
+    return dict(batch, bbox_feat=feat)
+
+
 def scatter_query_prediction(
     bbox_feat: jax.Array, query_pred: jax.Array, camera_mask: jax.Array
 ) -> jax.Array:
@@ -54,6 +70,7 @@ def create_train_state(
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     """Initialize params (+optimizer) — optionally directly sharded on a mesh
     so large models never materialize replicated."""
+    sample_batch = ensure_bbox_feat(sample_batch, model)
     B, T = sample_batch["images"].shape[:2]
     camera_mask = camera_mask_from_query_idx(sample_batch["query_idx"], T)
 
@@ -82,6 +99,7 @@ def make_train_step(
     """Build the jitted train step."""
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        batch = ensure_bbox_feat(batch, model)
         T = batch["images"].shape[1]
         camera_mask = camera_mask_from_query_idx(batch["query_idx"], T)
 
@@ -138,6 +156,7 @@ def make_eval_step(model: BoxDreamer, loss: Optional[Loss] = None) -> Callable:
     """Jitted eval step: full forward (heatmaps -> PnP poses) + optional loss."""
 
     def eval_step(params, batch):
+        batch = ensure_bbox_feat(batch, model)
         out = forward_with_pose(model, params, batch)
         metrics = {}
         if loss is not None:

@@ -44,7 +44,7 @@ from boxdreamer_tpu.training.train_step import (
 )
 from boxdreamer_tpu.utils.log import INFO, WARNING
 
-_TRAIN_KEYS = ("images", "bbox_feat", "query_idx")
+_TRAIN_KEYS = ("images", "bbox_feat", "query_idx", "bbox_proj_pix", "bbox_proj_crop")
 
 
 @dataclasses.dataclass
@@ -172,7 +172,7 @@ class Trainer:
             seed=cfg.seed,
         )
         first = next(iter(loader))
-        sample = {k: jnp.asarray(first[k]) for k in _TRAIN_KEYS}
+        sample = {k: jnp.asarray(first[k]) for k in _TRAIN_KEYS if k in first}
         self.state = self._init_state(sample, resume_path, pretrained_path)
         self._install_signal_handlers()
 
@@ -186,7 +186,8 @@ class Trainer:
             for epoch in range(cfg.max_epochs):
                 for batch in loader:
                     device_batch = jax.device_put(
-                        {k: batch[k] for k in _TRAIN_KEYS}, batch_sharding
+                        {k: batch[k] for k in _TRAIN_KEYS if k in batch},
+                        batch_sharding,
                     )
                     rng, sub = jax.random.split(rng)
                     self.state, metrics = step_fn(self.state, device_batch, sub)

@@ -92,3 +92,35 @@ def test_eval_step_outputs():
     out, metrics = eval_step(state.params, batch)
     assert out["pred_poses"].shape == (2, 4, 4)
     assert np.isfinite(float(metrics["val_loss"]))
+
+
+def test_device_bbox_feat_generation():
+    """Training with only bbox_proj_pix (device-side heatmap generation)
+    must match training with host-precomputed bbox_feat."""
+    from boxdreamer_tpu.data.preprocess import make_heatmap_features_np
+    from boxdreamer_tpu.training.loss import Loss as _Loss
+    from boxdreamer_tpu.training.train_step import ensure_bbox_feat
+
+    model = BoxDreamer(TINY)
+    B, T, S = 1, 2, 28
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    proj = jax.random.uniform(ks[0], (B, T, 8, 2), minval=4.0, maxval=24.0)
+    host_feat = jnp.asarray(make_heatmap_features_np(np.asarray(proj), S, S))
+    batch_device = {
+        "images": jax.random.uniform(ks[1], (B, T, 3, S, S)),
+        "query_idx": jnp.array([T - 1] * B),
+        "bbox_proj_pix": proj,
+    }
+    filled = ensure_bbox_feat(batch_device, model)
+    np.testing.assert_allclose(
+        np.asarray(filled["bbox_feat"]), np.asarray(host_feat), atol=1e-4
+    )
+
+    # Train step runs without host bbox_feat.
+    state, tx = create_train_state(
+        model, OptimConfig(lr=1e-3, use_warmup=False, scheduler="constant"),
+        ks[2], filled,
+    )
+    step = make_train_step(model, _Loss(), tx)
+    state, m = step(state, batch_device, jax.random.PRNGKey(9))
+    assert np.isfinite(float(m["loss"]))

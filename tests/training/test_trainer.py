@@ -85,3 +85,15 @@ def test_grad_accumulation(fixture_root, tmp_path):
     trainer = make_trainer(tmp_path, accumulate_grad_batches=2)
     state = trainer.fit(train_ds, [], max_steps=2)
     assert int(state.step) == 2
+
+
+def test_fit_with_device_bbox_feat(fixture_root, tmp_path):
+    """Training with device-side bbox feature generation (loader ships only
+    projections)."""
+    cfg = DatasetConfig(image_size=28, length=3, device_bbox_feat=True)
+    train_ds = build_dataset("LINEMOD", cfg, "train", root=fixture_root)
+    sample = train_ds[0]
+    assert "bbox_feat" not in sample and "bbox_proj_pix" in sample
+    trainer = make_trainer(tmp_path)
+    state = trainer.fit(train_ds, [], max_steps=2)
+    assert int(state.step) == 2
