@@ -59,6 +59,23 @@ def flax_to_reference_names(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return out
 
 
+def filter_keys(
+    state: Dict[str, np.ndarray], drop_prefixes=(), keep_prefixes=None
+) -> Dict[str, np.ndarray]:
+    """Checkpoint surgery: drop/keep keys by prefix (reference
+    scripts/tools/model_clean.py / model_warpper.py)."""
+    out = {}
+    for k, v in state.items():
+        if any(k.startswith(p) for p in drop_prefixes):
+            continue
+        if keep_prefixes is not None and not any(
+            k.startswith(p) for p in keep_prefixes
+        ):
+            continue
+        out[k] = v
+    return out
+
+
 def remap_keys(
     state: Dict[str, np.ndarray], rules: Dict[str, str]
 ) -> Dict[str, np.ndarray]:
