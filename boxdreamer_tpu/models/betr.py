@@ -42,6 +42,9 @@ class BETRConfig:
     qk_norm: bool = True
     adapter_dropout: float = 0.1
     dtype: str = "bfloat16"
+    # Rematerialize each block in the backward pass (jax.checkpoint) — trades
+    # FLOPs for activation memory at large batch/sequence.
+    remat: bool = False
 
     @property
     def box_dim(self) -> int:
@@ -164,8 +167,13 @@ class BETR(nn.Module):
 
         # --- joint attention over all frames' tokens -----------------------------
         x = fuse.reshape(B, T * P, cfg.d_model)
+        block_cls = (
+            nn.remat(layers.TransformerBlock, static_argnums=(2,))
+            if cfg.remat
+            else layers.TransformerBlock
+        )
         for i in range(cfg.num_decoder_layers):
-            x = layers.TransformerBlock(
+            x = block_cls(
                 num_heads=cfg.nhead,
                 mlp_ratio=cfg.mlp_ratio,
                 qk_norm=cfg.qk_norm,
@@ -173,7 +181,7 @@ class BETR(nn.Module):
                 ln_eps=1e-5,
                 dtype=dtype,
                 name=f"block_{i}",
-            )(x, deterministic=deterministic)
+            )(x, deterministic)
         x = x.reshape(B, T, P, cfg.d_model)
 
         # --- select query tokens (exactly one query per batch row) ---------------

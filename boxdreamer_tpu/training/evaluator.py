@@ -57,9 +57,23 @@ class Evaluator:
         batch_size: int = 8,
         num_workers: int = 2,
         dense_cfg=None,  # DenseConfig; dense-reference eval when .enable
+        mesh=None,  # jax.sharding.Mesh: shard eval batches over 'data'
     ):
         self.model = model
         self.params = params
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from boxdreamer_tpu.parallel import mesh as mesh_lib
+
+            # Multi-chip eval (north star: batched eval under data sharding
+            # on v5e-8): batches shard over the mesh 'data' axis; GSPMD
+            # partitions the whole forward+PnP program.
+            self._batch_sharding = mesh_lib.batch_sharding(mesh)
+            data_axis = mesh.shape.get("data", 1)
+            assert batch_size % data_axis == 0, (
+                f"eval batch {batch_size} must divide over data axis {data_axis}"
+            )
         self.metrics_config = metrics_config
         self.batch_size = batch_size
         self.num_workers = num_workers
@@ -91,6 +105,8 @@ class Evaluator:
         for batch in loader:
             padded, n_valid = _pad_batch(batch, self.batch_size)
             device_batch = {k: jnp.asarray(padded[k]) for k in _DEVICE_KEYS}
+            if self._batch_sharding is not None:
+                device_batch = jax.device_put(device_batch, self._batch_sharding)
             out, _ = self._eval_step(self.params, device_batch)
             pred_poses = np.asarray(out["pred_poses"])[:n_valid]
 
