@@ -135,3 +135,36 @@ def test_frozen_encoder_gets_zero_grads():
     assert any(
         np.abs(np.asarray(l)).max() > 0.0 for l in jax.tree_util.tree_leaves(dec)
     )
+
+
+def test_voting_representation_end_to_end():
+    """bbox_representation='voting': 16-channel head, vote-mean decode, PnP."""
+    cfg = BoxDreamerConfig(
+        bbox_representation="voting",
+        betr=dataclasses.replace(TINY_BETR),
+        dino=TINY_DINO,
+        pnp_iters=3,
+    )
+    assert cfg.betr.box_dim == 16
+    model = BoxDreamer(cfg)
+    B, T = 1, 3
+    images = jax.random.uniform(jax.random.PRNGKey(0), (B, T, 3, 28, 28))
+    bbox_feat = jax.random.uniform(jax.random.PRNGKey(1), (B, T, 16, 28, 28))
+    query_idx = jnp.array([T - 1])
+    camera_mask = camera_mask_from_query_idx(query_idx, T)
+    params = model.init(jax.random.PRNGKey(2), images, bbox_feat, camera_mask)
+    batch = {
+        "images": images,
+        "bbox_feat": bbox_feat,
+        "query_idx": query_idx,
+        "bbox_3d": jnp.broadcast_to(
+            jax.random.normal(jax.random.PRNGKey(3), (8, 3)) * 0.1, (B, T, 8, 3)
+        ),
+        "non_ndc_intrinsics": jnp.broadcast_to(
+            jnp.array([[100.0, 0, 14.0], [0, 100.0, 14.0], [0, 0, 1.0]]),
+            (B, T, 3, 3),
+        ),
+    }
+    out = forward_with_pose(model, params, batch)
+    assert out["pred_bbox"].shape == (B, 16, 28, 28)
+    assert np.isfinite(np.asarray(out["pred_poses"])).all()
