@@ -104,3 +104,41 @@ def test_safetensors_name_roundtrip():
     out1 = model.apply(params, pose_feat, None, masks, tokens)
     out2 = model.apply({"params": merged}, pose_feat, None, masks, tokens)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+
+def test_foundationpose_ref_converter(tmp_path):
+    from boxdreamer_tpu.tools.foundationpose_refs import main as fp_main
+
+    fp_root = tmp_path / "fp"
+    obj = fp_root / "002_master_chef_can"
+    (obj / "rgb").mkdir(parents=True)
+    (obj / "cam_in_ob").mkdir()
+    np.savetxt(obj / "K.txt", K_DEFAULT)
+    for i in range(3):
+        Image.new("RGB", (64, 48), (30, 30, 30)).save(obj / "rgb" / f"{i}.png")
+        cam_in_ob = np.linalg.inv(look_at_pose(i * 0.7))
+        np.savetxt(obj / "cam_in_ob" / f"{i}.txt", cam_in_ob)
+    out = tmp_path / "ycbv"
+    assert fp_main(["--fp-root", str(fp_root), "--output", str(out)]) == 0
+    ref_dir = out / "train_foundationpose" / "002_master_chef_can"
+    files = sorted(os.listdir(ref_dir))
+    assert "0000-color.png" in files and "0000-pose.txt" in files
+    pose = np.loadtxt(ref_dir / "0000-pose.txt")
+    np.testing.assert_allclose(pose, look_at_pose(0.0), atol=1e-8)
+    # Consumable by the YCBV adapter as a reference suffix.
+    from boxdreamer_tpu.data import DatasetConfig, build_dataset
+
+    test_dir = out / "test" / "002_master_chef_can"
+    test_dir.mkdir(parents=True)
+    for i in range(2):
+        pose = look_at_pose(i * 1.1)
+        base = str(test_dir / f"{i:06d}")
+        Image.new("RGB", (64, 48), (30, 30, 30)).save(base + "-color.png")
+        np.savetxt(base + "-pose.txt", pose)
+        np.savetxt(base + "-intrinsics.txt", K_DEFAULT)
+        np.savetxt(base + "-box.txt", np.array([5, 5, 40, 40]))
+    ds = build_dataset(
+        "YCBV", DatasetConfig(image_size=32, length=3), "test",
+        root=str(out), reference_suffix="_foundationpose", ref_mode="random_seq",
+    )
+    assert ds.cat_len["ref"]["002_master_chef_can"] == 3
