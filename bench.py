@@ -4,15 +4,26 @@ Measures the BASELINE.json metric — frames/sec/chip on the LINEMOD eval
 protocol: batched query inference (batch 8, the reference's eval loader
 size, configs/datamodule/test.yaml) against 5 cached reference views at
 224x224, flagship model (DINOv2 ViT-B/14-reg + 12-layer BETR), bf16
-compute. Every timed dispatch runs the FULL on-device program per query —
-DINOv2 encode, BETR over 1536 tokens, top-k corner decode, batched DLT+GN
-PnP — the work the reference splits across CUDA and per-sample OpenCV CPU
-calls (>40 FPS single-stream on an RTX 4090, README FAQ).
+compute. Every frame runs the FULL on-device program — DINOv2 encode,
+BETR over 1536 tokens, top-k corner decode, batched DLT+GN PnP — the work
+the reference splits across CUDA and per-sample OpenCV CPU calls (>40 FPS
+single-stream on an RTX 4090, README FAQ).
 
-Protocol notes: 20 distinct query batches (no repeated dispatches — remote
-runtimes may dedupe identical calls), warmup excluded, one
-block_until_ready over all outputs. Single-stream latency is additionally
-reported to stderr for context.
+Measurement protocol (self-validating — see VERDICT.md round-1 item 1):
+the timed unit is ONE dispatch of a `lax.scan` chain of K full query
+programs running entirely on device. Each scan step consumes a distinct
+pre-generated query batch, and the previous step's pose checksum is folded
+into the next step's input, so (a) the remote runtime cannot dedupe or
+reorder steps, (b) there is no per-step host round-trip to hide or to pay,
+and (c) the K steps are provably serialized by data dependency. We then:
+
+  1. time the chain at K and at 2K and require near-linear scaling
+     (a sub-linear ratio means steps were elided/cached — abort);
+  2. fetch the outputs and checksum them (finite, non-zero);
+  3. compute FLOPs/frame from XLA's own cost model
+     (compiled.cost_analysis(), analytic fallback) and print the implied
+     MFU against the most generous single-chip bf16 peak — REFUSING to
+     report any number whose implied MFU exceeds 100%.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -28,13 +39,60 @@ BASELINE_FPS = 40.0  # RTX 4090, reference README.md:371
 N_REFS = 5
 SIZE = 224
 BATCH = 8  # reference eval loader batch (configs/datamodule/test.yaml)
-WARMUP = 3
-ITERS = 20
+K_STEPS = 16  # chain length; also timed at 2*K_STEPS for the linearity check
+REPEATS = 3  # best-of timing per chain length
+
+# Most generous known single-chip bf16 peak (TPU v6e/Trillium). Using the
+# largest plausible peak makes the MFU guard conservative: any number that
+# trips it is impossible on EVERY chip.
+PEAK_BF16_FLOPS = {
+    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v5": 459e12,
+    "v6e": 918e12,
+    "v6 lite": 918e12,
+}
+PEAK_FALLBACK = 918e12
+
+
+def _chip_peak() -> float:
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in PEAK_BF16_FLOPS.items():
+        if key in kind:
+            return peak
+    return PEAK_FALLBACK
+
+
+def _analytic_flops_per_frame() -> float:
+    """Closed-form FLOP estimate of the per-frame program (fallback when the
+    backend exposes no cost model). Transformer layer = 24*N*d^2 + 4*N^2*d
+    (QKVO + MLP4x + 2 attention matmuls, MAC=2 FLOPs)."""
+    d = 768
+    n_dino = 261  # 256 patches + cls + 4 registers
+    n_betr = (N_REFS + 1) * 256
+    per_layer = lambda n: 24 * n * d * d + 4 * n * n * d
+    return 12 * per_layer(n_dino) + 12 * per_layer(n_betr)
+
+
+def _compiled_flops(compiled) -> float:
+    """Total FLOPs of a compiled program from XLA's cost model, or 0.0."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0] if ca else {}
+        return float(ca.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def main():
     from boxdreamer_tpu.models import BoxDreamer, BoxDreamerConfig
-    from boxdreamer_tpu.models.predictor import Predictor
+    from boxdreamer_tpu.models.predictor import (
+        Predictor,
+        predict_query,
+    )
 
     model = BoxDreamer(BoxDreamerConfig())
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
@@ -44,61 +102,150 @@ def main():
         jax.random.uniform(ks[1], (BATCH, N_REFS, 8, SIZE, SIZE)) * 2 - 1
     )
     bbox_3d = jax.random.normal(ks[2], (BATCH, 8, 3)) * 0.1
-    K = jnp.broadcast_to(
+    K_intr = jnp.broadcast_to(
         jnp.array([[900.0, 0, 112.0], [0, 900.0, 112.0], [0, 0, 1.0]]),
         (BATCH, 3, 3),
     )
     mask = jnp.zeros((1, N_REFS + 1), dtype=bool).at[:, -1].set(True)
-    init_images = jnp.concatenate(
-        [ref_images[:1], ref_images[:1, :1]], axis=1
-    )
+    init_images = jnp.concatenate([ref_images[:1], ref_images[:1, :1]], axis=1)
     init_bf = jnp.concatenate([ref_bbox_feat[:1], ref_bbox_feat[:1, :1]], axis=1)
     params = model.init(ks[3], init_images, init_bf, mask)
 
     predictor = Predictor(model, params)
     predictor.set_references(ref_images, ref_bbox_feat, bbox_3d)
+    refs = predictor._refs
 
-    batches = [
-        jax.block_until_ready(jax.random.uniform(k, (BATCH, 3, SIZE, SIZE)))
-        for k in jax.random.split(ks[4], ITERS + WARMUP)
-    ]
+    def chain(params, ref_tokens, ref_bf, box3d, kmat, queries):
+        """K serialized full query programs in ONE dispatch.
 
-    # Warmup / compile.
-    for q in batches[:WARMUP]:
-        out = predictor.predict(q, K)
-    jax.block_until_ready(out["pred_poses"])
+        carry: f32 scalar derived from the previous pose, folded into the
+        next query at 1e-20 scale — numerically inert (queries are O(1))
+        but creates a true data dependency across steps.
+        """
 
-    t0 = time.perf_counter()
-    outs = [predictor.predict(q, K)["pred_poses"] for q in batches[WARMUP:]]
-    jax.block_until_ready(outs)
-    dt = time.perf_counter() - t0
-    fps = ITERS * BATCH / dt
+        def step(carry, q):
+            q = q + carry * 1e-20
+            out = predict_query(
+                model, params, q, ref_tokens, ref_bf, box3d, kmat
+            )
+            poses = out["pred_poses"]
+            checksum = jnp.sum(poses.astype(jnp.float32))
+            return checksum, checksum
 
-    # Context: single-stream latency with a serialized dependency chain
-    # (next input depends on the previous pose; nothing can pipeline).
-    q1 = batches[0][:1]
-    K1 = K[:1]
-    ref1 = {
-        "tokens": predictor._refs["tokens"][:1],
-        "bbox_feat": predictor._refs["bbox_feat"][:1],
-        "bbox_3d": predictor._refs["bbox_3d"][:1],
-    }
-    predictor._refs = ref1
-    out = predictor.predict(q1, K1)
-    jax.block_until_ready(out["pred_poses"])
-    t0 = time.perf_counter()
-    fb = out["pred_poses"].sum() * 1e-12
-    n_serial = 10
-    for _ in range(n_serial):
-        out = predictor.predict(q1 + fb, K1)
-        fb = out["pred_poses"].sum() * 1e-12
-    jax.block_until_ready(out["pred_poses"])
-    latency_ms = (time.perf_counter() - t0) / n_serial * 1e3
+        final, sums = jax.lax.scan(step, jnp.float32(0.0), queries)
+        return final, sums
+
+    jitted = jax.jit(chain)
+
+    def make_queries(n, seed):
+        qs = jax.random.uniform(
+            jax.random.PRNGKey(seed), (n, BATCH, 3, SIZE, SIZE)
+        )
+        return jax.block_until_ready(qs)
+
+    q1 = make_queries(K_STEPS, 100)
+    q2 = make_queries(2 * K_STEPS, 200)
+
+    common = (params, refs["tokens"], refs["bbox_feat"], refs["bbox_3d"], K_intr)
+
+    # Compile both chain lengths up front (scan body compiles once each).
+    lowered = jitted.lower(*common, q1)
+    compiled1 = lowered.compile()
+    compiled2 = jitted.lower(*common, q2).compile()
+
+    def timed(fn, queries):
+        # Time to FETCHED host data, not block_until_ready: through remote
+        # transports (axon tunnel) block_until_ready can ack before the work
+        # completes, which is exactly the round-1 artifact this bench
+        # refuses to reproduce. The outputs are K scalars, so the fetch
+        # costs one transport round-trip, amortized over K*BATCH frames.
+        best = float("inf")
+        outs = None
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            outs = jax.device_get(fn(*common, queries))
+            best = min(best, time.perf_counter() - t0)
+        return best, outs
+
+    # Warmup both (first run may include device-side caching/layout work).
+    jax.device_get(compiled1(*common, q1))
+    jax.device_get(compiled2(*common, q2))
+
+    t1, outs1 = timed(compiled1, q1)
+    t2, outs2 = timed(compiled2, q2)
+
+    # --- Self-validation ---------------------------------------------------
+    # 1. Output checksums: fetched to host, finite and non-zero.
+    final1, sums1 = outs1
+    final2, sums2 = outs2
+    for name, final, sums, n in (
+        ("K", final1, sums1, K_STEPS),
+        ("2K", final2, sums2, 2 * K_STEPS),
+    ):
+        ok = (
+            sums.shape == (n,)
+            and bool(jnp.all(jnp.isfinite(sums)))
+            and bool(jnp.any(sums != 0.0))
+            and float(final) == float(sums[-1])
+        )
+        if not ok:
+            print(f"ERROR: chain {name} output checksum invalid", file=sys.stderr)
+            sys.exit(1)
     print(
-        f"single-stream serialized latency: {latency_ms:.1f} ms/frame "
-        f"(includes host-device round-trip)",
+        f"checksums: K={float(final1):.6e} 2K={float(final2):.6e}",
         file=sys.stderr,
     )
+
+    # 2. Linearity: doubling the chain must ~double the time. Sub-linear
+    # scaling means steps were elided (dedup/caching artifact) — refuse.
+    ratio = t2 / t1
+    print(
+        f"chain timing: K={K_STEPS} -> {t1*1e3:.1f} ms, "
+        f"2K={2*K_STEPS} -> {t2*1e3:.1f} ms (ratio {ratio:.2f})",
+        file=sys.stderr,
+    )
+    if not (1.6 <= ratio <= 2.6):
+        print(
+            f"ERROR: chain time ratio {ratio:.2f} outside [1.6, 2.6] — "
+            "timing does not scale with work; refusing to report.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+
+    frames = 2 * K_STEPS * BATCH
+    fps = frames / t2
+
+    # 3. Physics: implied MFU must be < 100% of the most generous chip peak.
+    # FLOPs come from a SINGLE-step compile (XLA's cost model counts a
+    # lax.scan body once, not x K, so the chained program under-reports).
+    single = jax.jit(
+        lambda p, rt, rb, b3, km, q: predict_query(model, p, q, rt, rb, b3, km)[
+            "pred_poses"
+        ]
+    )
+    step_flops = _compiled_flops(single.lower(*common, q1[0]).compile())
+    if step_flops > 0:
+        flops_per_frame = step_flops / BATCH
+        flops_src = "xla-cost-model"
+    else:
+        flops_per_frame = _analytic_flops_per_frame()
+        flops_src = "analytic"
+    peak = _chip_peak()
+    mfu = fps * flops_per_frame / peak
+    print(
+        f"flops/frame = {flops_per_frame/1e9:.1f} GF ({flops_src}); "
+        f"device = {jax.devices()[0].device_kind}; "
+        f"peak(bf16) = {peak/1e12:.0f} TF/s; implied MFU = {mfu*100:.1f}%",
+        file=sys.stderr,
+    )
+    if mfu >= 1.0:
+        print(
+            f"ERROR: implied MFU {mfu*100:.0f}% >= 100% — physically "
+            "impossible; measurement is a transport artifact. Refusing to "
+            "report.",
+            file=sys.stderr,
+        )
+        sys.exit(1)
 
     print(
         json.dumps(
