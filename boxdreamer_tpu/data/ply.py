@@ -1,9 +1,13 @@
-"""Minimal PLY vertex reader (ascii + binary little/big endian).
+"""Minimal PLY mesh/point reader (ascii + binary little/big endian) and
+area-weighted mesh surface sampling.
 
-Replaces the reference's open3d/trimesh dependency for CAD point loading
-(src/utils/customize/sample_points_on_cad.py — get_all_points_on_model just
-reads mesh vertices). No external mesh library needed: metric computation
-and 3D-bbox extraction only consume the vertex positions.
+Replaces the reference's open3d/trimesh/plyfile dependencies for CAD point
+loading (src/utils/customize/sample_points_on_cad.py). For .ply the
+reference's get_all_points_on_model reads vertices only (parity kept); for
+low-poly meshes (.obj/.glb) it surface-samples via trimesh — here provided
+as :func:`sample_points_on_mesh` (uniform area-weighted triangle sampling in
+numpy, same semantics as open3d's ``sample_points_uniformly`` / trimesh's
+``sample``). No external mesh library needed.
 """
 
 from __future__ import annotations
@@ -97,11 +101,236 @@ def read_ply_vertices(path: str) -> np.ndarray:
         ).astype(np.float64)
 
 
+def read_ply_mesh(path: str):
+    """Read vertices and (triangulated) faces from a PLY file.
+
+    Returns:
+        (vertices (N, 3) float64, faces (M, 3) int64 or None when the file
+        has no face element — e.g. reconstruction point clouds).
+    """
+    with open(path, "rb") as f:
+        magic = f.readline().strip()
+        if magic != b"ply":
+            raise ValueError(f"{path} is not a PLY file")
+        fmt = None
+        elements = []
+        cur_props = None
+        while True:
+            line = f.readline()
+            if not line:
+                raise ValueError("unexpected EOF in PLY header")
+            tokens = line.decode("ascii", "replace").strip().split()
+            if not tokens or tokens[0] == "comment":
+                continue
+            if tokens[0] == "format":
+                fmt = tokens[1]
+            elif tokens[0] == "element":
+                cur_props = []
+                elements.append((tokens[1], int(tokens[2]), cur_props))
+            elif tokens[0] == "property":
+                if tokens[1] == "list":
+                    cur_props.append((tokens[-1], ("list", tokens[2], tokens[3])))
+                else:
+                    cur_props.append((tokens[-1], tokens[1]))
+            elif tokens[0] == "end_header":
+                break
+
+        vertices, faces = None, None
+        endian = "<" if fmt != "binary_big_endian" else ">"
+        for name, count, props in elements:
+            is_list = [isinstance(t, tuple) for _, t in props]
+            if fmt == "ascii":
+                rows = [f.readline().split() for _ in range(count)]
+                if name == "vertex":
+                    names = [n for n, _ in props]
+                    idx = [names.index(k) for k in ("x", "y", "z")]
+                    vertices = np.asarray(
+                        [[float(r[i]) for i in idx] for r in rows], dtype=np.float64
+                    )
+                elif name == "face":
+                    tris = []
+                    for r in rows:
+                        n = int(r[0])
+                        poly = [int(v) for v in r[1 : 1 + n]]
+                        for k in range(1, n - 1):  # fan-triangulate
+                            tris.append([poly[0], poly[k], poly[k + 1]])
+                    faces = np.asarray(tris, dtype=np.int64) if tris else None
+            else:
+                if not any(is_list):
+                    dtype = np.dtype(
+                        [(n, endian + _DTYPES[t]) for n, t in props]
+                    )
+                    buf = f.read(count * dtype.itemsize)
+                    if name == "vertex":
+                        data = np.frombuffer(buf, dtype=dtype, count=count)
+                        vertices = np.stack(
+                            [data["x"], data["y"], data["z"]], axis=1
+                        ).astype(np.float64)
+                else:
+                    # Element with list property (faces): stream row by row.
+                    tris = []
+                    for _ in range(count):
+                        row_vals = {}
+                        for pname, ptype in props:
+                            if isinstance(ptype, tuple):
+                                _, cnt_t, idx_t = ptype
+                                cnt_dt = np.dtype(endian + _DTYPES[cnt_t])
+                                idx_dt = np.dtype(endian + _DTYPES[idx_t])
+                                n = int(
+                                    np.frombuffer(f.read(cnt_dt.itemsize), cnt_dt)[0]
+                                )
+                                vals = np.frombuffer(
+                                    f.read(n * idx_dt.itemsize), idx_dt, count=n
+                                )
+                                row_vals[pname] = vals
+                            else:
+                                dt = np.dtype(endian + _DTYPES[ptype])
+                                row_vals[pname] = np.frombuffer(
+                                    f.read(dt.itemsize), dt
+                                )[0]
+                        if name == "face":
+                            poly = next(
+                                v
+                                for k, v in row_vals.items()
+                                if isinstance(v, np.ndarray)
+                            )
+                            for k in range(1, len(poly) - 1):
+                                tris.append(
+                                    [int(poly[0]), int(poly[k]), int(poly[k + 1])]
+                                )
+                    if name == "face" and tris:
+                        faces = np.asarray(tris, dtype=np.int64)
+        if vertices is None:
+            raise ValueError(f"no vertex element in {path}")
+        return vertices, faces
+
+
+def read_obj_mesh(path: str):
+    """Minimal OBJ reader: 'v' and (fan-triangulated) 'f' records."""
+    verts, tris = [], []
+    with open(path) as f:
+        for line in f:
+            t = line.split()
+            if not t:
+                continue
+            if t[0] == "v":
+                verts.append([float(v) for v in t[1:4]])
+            elif t[0] == "f":
+                idx = [int(tok.split("/")[0]) for tok in t[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                for k in range(1, len(idx) - 1):
+                    tris.append([idx[0], idx[k], idx[k + 1]])
+    vertices = np.asarray(verts, dtype=np.float64)
+    faces = np.asarray(tris, dtype=np.int64) if tris else None
+    return vertices, faces
+
+
+def sample_points_on_mesh(
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    n: int,
+    seed: int | None = 0,
+) -> np.ndarray:
+    """Uniform area-weighted surface sampling (the numpy equivalent of
+    open3d ``sample_points_uniformly`` / trimesh ``sample``, used by the
+    reference's sample_points_on_cad.py:36 and :105).
+
+    Triangles are picked with probability proportional to area; points are
+    uniform in each triangle via the sqrt-barycentric trick.
+    """
+    v = np.asarray(vertices, dtype=np.float64)
+    fc = np.asarray(faces, dtype=np.int64)
+    a, b, c = v[fc[:, 0]], v[fc[:, 1]], v[fc[:, 2]]
+    areas = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1)
+    total = areas.sum()
+    if total <= 0:
+        raise ValueError("mesh has zero surface area")
+    rng = np.random.default_rng(seed)
+    tri = rng.choice(len(fc), size=n, p=areas / total)
+    r1 = np.sqrt(rng.random(n))[:, None]
+    r2 = rng.random(n)[:, None]
+    pts = (1 - r1) * a[tri] + r1 * (1 - r2) * b[tri] + r1 * r2 * c[tri]
+    return pts
+
+
+def get_model_corners(model: np.ndarray) -> np.ndarray:
+    """8 axis-aligned bbox corners in the reference's order
+    (sample_points_on_cad.py:6-20: x slow, y mid, z fast)."""
+    mn, mx = model.min(axis=0), model.max(axis=0)
+    return np.array(
+        [
+            [mn[0], mn[1], mn[2]],
+            [mn[0], mn[1], mx[2]],
+            [mn[0], mx[1], mn[2]],
+            [mn[0], mx[1], mx[2]],
+            [mx[0], mn[1], mn[2]],
+            [mx[0], mn[1], mx[2]],
+            [mx[0], mx[1], mn[2]],
+            [mx[0], mx[1], mx[2]],
+        ]
+    )
+
+
+def model_diameter_from_bbox(bbox: np.ndarray) -> float:
+    """Diagonal of the model bbox (sample_points_on_cad.py:74-81)."""
+    return float(np.linalg.norm(np.asarray(bbox)[7] - np.asarray(bbox)[0]))
+
+
+def sample_points_on_cad(cad_model_path: str, n_num: int = 1000, seed: int = 0):
+    """Surface-sample a CAD mesh + its 9x3 corners-and-center block
+    (reference sample_points_on_cad.py:22-44)."""
+    if cad_model_path.endswith(".obj"):
+        vertices, faces = read_obj_mesh(cad_model_path)
+    else:
+        vertices, faces = read_ply_mesh(cad_model_path)
+    corners = get_model_corners(vertices)
+    center = (corners.max(0, keepdims=True) + corners.min(0, keepdims=True)) / 2
+    corners_center = np.concatenate([corners, center], axis=0)
+    if faces is None:
+        raise ValueError(f"{cad_model_path} has no faces to sample")
+    pts = sample_points_on_mesh(vertices, faces, n_num, seed=seed)
+    return pts.astype(np.float32), corners_center.astype(np.float32)
+
+
+def normalize_point_cloud(points: np.ndarray) -> np.ndarray:
+    """Center and scale to 2/diagonal (sample_points_on_cad.py:113-146)."""
+    points = np.asarray(points, dtype=np.float64).copy()
+    bbox_min, bbox_max = points.min(0), points.max(0)
+    diag = np.linalg.norm(bbox_max - bbox_min)
+    points += -(bbox_min + bbox_max) / 2
+    return points * (2.0 / diag)
+
+
 @functools.lru_cache(maxsize=64)
-def get_all_points_on_model(path: str) -> np.ndarray:
-    """Cached CAD vertex loading (reference bbox_utils.get_cached_points:79-91
-    and metric_utils.get_cached_points:212-222)."""
-    return read_ply_vertices(path)
+def get_all_points_on_model(
+    path: str, max_size: int = -1, surface_points: int = 10000
+) -> np.ndarray:
+    """Cached CAD point loading (reference get_all_points_on_model,
+    sample_points_on_cad.py:148-180, and the metric/bbox caches
+    metric_utils.py:212-222). Reference semantics per extension:
+      .ply -> vertices only (optionally uniformly downsampled to max_size);
+      .obj/.glb -> 10k surface samples, normalized to the unit-diagonal box;
+      .xyz -> raw text points.
+    """
+    if path.endswith(".ply"):
+        model = read_ply_vertices(path)
+        if max_size != -1 and model.shape[0] > max_size:
+            idx = np.random.default_rng(0).choice(
+                model.shape[0], max_size, replace=False
+            )
+            model = model[idx]
+        return model
+    if path.endswith(".obj") or path.endswith(".glb"):
+        if path.endswith(".glb"):
+            raise NotImplementedError("glb parsing requires trimesh (absent)")
+        vertices, faces = read_obj_mesh(path)
+        if faces is None:
+            return normalize_point_cloud(vertices)
+        pts = sample_points_on_mesh(vertices, faces, surface_points, seed=0)
+        return normalize_point_cloud(pts)
+    if path.endswith(".xyz"):
+        return np.loadtxt(path)
+    raise NotImplementedError(f"Model format {path} not implemented")
 
 
 def write_ply(path: str, points: np.ndarray, colors: np.ndarray | None = None):

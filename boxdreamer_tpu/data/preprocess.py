@@ -114,8 +114,11 @@ def crop_image(
         draw = ImageDraw.Draw(mask)
         draw.rectangle([int(v) for v in bbox_obj], fill=255)
         image = Image.composite(image, Image.new("RGB", image.size, (0, 0, 0)), mask)
-    x0, y0, x1, y1 = (int(v) for v in bbox)
-    w, h = x1 - x0, y1 - y0
+    # Match the reference's truncation exactly (preprocess.py:256-263 via
+    # torchvision F.crop): left/top are int(corner), but width/height are
+    # int(difference) — for float bboxes these differ by one pixel.
+    x0, y0 = int(bbox[0]), int(bbox[1])
+    w, h = int(bbox[2] - bbox[0]), int(bbox[3] - bbox[1])
     out = Image.new(image.mode, (w, h), 0)
     out.paste(image, (-x0, -y0))
     return out
@@ -142,7 +145,11 @@ def pad_and_resize_image(
     else:
         bbox = np.asarray(bbox_anno, dtype=np.float64)
         if (bbox[2] - bbox[0]) != (bbox[3] - bbox[1]):
-            bbox = square_bbox(bbox)
+            # The reference re-squares with astype=int here
+            # (preprocess.py:166-168 -> square_bbox(..., astype=int)), i.e.
+            # truncation toward zero — and since base.py passes a float
+            # square_bbox as bbox_anno, float jitter makes this path common.
+            bbox = square_bbox(bbox).astype(np.int64).astype(np.float64)
 
     crop_params = calculate_crop_parameters((w, h), bbox)
     cropped = crop_image(image, bbox, bbox_obj)
@@ -189,9 +196,16 @@ def ndc_intrinsics(K: np.ndarray, size_wh: Tuple[float, float]) -> np.ndarray:
     return K_ndc
 
 
-def make_heatmap_features_np(bbox_2d: np.ndarray, H: int, W: int) -> np.ndarray:
+def make_heatmap_features_np(
+    bbox_2d: np.ndarray, H: int, W: int, joint_frames: bool = True
+) -> np.ndarray:
     """Numpy twin of ops.heatmap.make_heatmap_features for loader workers
-    (parity-tested against the jax op). bbox_2d: (..., 8, 2) -> (..., 8, H, W)."""
+    (parity-tested against the jax op AND the real reference function).
+    bbox_2d: (..., 8, 2) -> (..., 8, H, W).
+
+    joint_frames=True reproduces the reference's per-corner max over ALL
+    frames of the sample jointly (bbox_utils.py:303 — a global ``.max()``
+    over the (T, H, W) slice), which is how loader targets are built."""
     bbox_2d = np.asarray(bbox_2d, dtype=np.float32)
     xs = np.arange(W, dtype=np.float32)
     ys = np.arange(H, dtype=np.float32)
@@ -202,7 +216,11 @@ def make_heatmap_features_np(bbox_2d: np.ndarray, H: int, W: int) -> np.ndarray:
     corner_to_center = np.linalg.norm(bbox_2d - center[..., None, :], axis=-1)
     scale = np.maximum((corner_to_center / 10.0) ** 2, 1e-12)
     hm = np.exp(-dist / scale[..., None, None])
-    hm = hm / np.maximum(hm.max(axis=(-2, -1), keepdims=True), 1e-12)
+    if joint_frames and bbox_2d.ndim >= 3:
+        peak = hm.max(axis=(-4, -2, -1), keepdims=True)
+    else:
+        peak = hm.max(axis=(-2, -1), keepdims=True)
+    hm = hm / np.maximum(peak, 1e-12)
     return hm * 2.0 - 1.0
 
 

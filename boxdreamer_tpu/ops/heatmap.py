@@ -27,15 +27,23 @@ def _pixel_grid(H: int, W: int, dtype=jnp.float32):
     return xs, ys
 
 
-def make_heatmap_features(bbox_2d: jax.Array, H: int, W: int) -> jax.Array:
+def make_heatmap_features(
+    bbox_2d: jax.Array, H: int, W: int, joint_frames: bool = True
+) -> jax.Array:
     """Distance-gaussian corner heatmaps (reference 'heatmap' type,
     src/datasets/utils/base/bbox_utils.py:263-303).
 
     For corner ``i`` at pixel ``c_i``: ``h_i(p) = exp(-|p - c_i| / s_i)`` with
     ``s_i = (|c_i - center| / 10)^2``, max-normalized, then mapped to [-1, 1].
 
+    The reference normalizes ``bbox_map[..., i].max()`` over the WHOLE
+    leading (frame) axis of one sample jointly — per corner, across all T
+    frames — not per frame (bbox_utils.py:303 is a global ``.max()`` over a
+    (T, H, W) slice). ``joint_frames=True`` reproduces that: for inputs with
+    a frame axis ((T, 8, 2) or (B, T, 8, 2)) the max is shared across T.
+
     Args:
-        bbox_2d: (..., 8, 2) projected corner pixel coordinates (x, y).
+        bbox_2d: (8, 2), (T, 8, 2) or (B, T, 8, 2) corner pixels (x, y).
         H, W: output map size.
 
     Returns:
@@ -57,7 +65,11 @@ def make_heatmap_features(bbox_2d: jax.Array, H: int, W: int) -> jax.Array:
     scale = jnp.maximum(scale, 1e-12)
 
     hm = jnp.exp(-dist / scale[..., None, None])
-    peak = jnp.max(hm, axis=(-2, -1), keepdims=True)
+    if joint_frames and bbox_2d.ndim >= 3:
+        # hm is (..., T, 8, H, W): share the max across the frame axis.
+        peak = jnp.max(hm, axis=(-4, -2, -1), keepdims=True)
+    else:
+        peak = jnp.max(hm, axis=(-2, -1), keepdims=True)
     hm = hm / jnp.maximum(peak, 1e-12)
     return hm * 2.0 - 1.0
 

@@ -13,7 +13,12 @@ def make_corners(key, batch=2, H=64, W=64, margin=12):
 
 def reference_heatmap_numpy(bbox, H, W):
     """Direct numpy port of the reference formula
-    (src/datasets/utils/base/bbox_utils.py:263-303) used as a golden spec."""
+    (src/datasets/utils/base/bbox_utils.py:263-303) used as a golden spec.
+
+    Note the normalization: ``bbox_map[..., i].max()`` in the reference is a
+    GLOBAL max over the whole (T, H, W) slice — shared across frames, per
+    corner (verified by tests/parity/test_preprocess_golden.py executing the
+    real function)."""
     B = bbox.shape[0]
     out = np.zeros((B, 8, H, W), dtype=np.float32)
     xs = np.arange(W, dtype=np.float32)
@@ -29,10 +34,9 @@ def reference_heatmap_numpy(bbox, H, W):
                 + (center[b, 1] - bbox[b, i, 1]) ** 2
             )
             sf = (dis / 10.0) ** 2
-            m = np.exp(-dist / sf)
-            m = m / m.max()
-            out[b, i] = m * 2 - 1
-    return out
+            out[b, i] = np.exp(-dist / sf)
+    peak = out.max(axis=(0, 2, 3), keepdims=True)  # per corner, joint frames
+    return (out / peak) * 2 - 1
 
 
 def test_heatmap_matches_reference_formula():
