@@ -41,6 +41,10 @@ def build_everything(cfg):
         mesh_data=int(cfg.trainer.mesh.data),
         mesh_model=int(cfg.trainer.mesh.model),
         seed=int(cfg.seed),
+        # checkpoint-best monitor (reference configs/callbacks/default.yaml:2;
+        # set callbacks.monitor='val_ADD-0.1d' for checkpoint-best-by-ADD)
+        monitor=str(cfg.callbacks.get("monitor", "val_loss")),
+        val_pose_metrics=bool(cfg.callbacks.get("val_pose_metrics", True)),
     )
     logger = builders.build_logger(cfg)
     trainer = Trainer(

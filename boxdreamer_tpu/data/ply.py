@@ -101,6 +101,59 @@ def read_ply_vertices(path: str) -> np.ndarray:
         ).astype(np.float64)
 
 
+def read_ply_points(path: str):
+    """Read (N, 3) points and, when present, (N, 3) uint8 colors from a PLY
+    point cloud (e.g. COLMAP model_converter output)."""
+    with open(path, "rb") as f:
+        if f.readline().strip() != b"ply":
+            raise ValueError(f"{path} is not a PLY file")
+        fmt = None
+        elements = []
+        cur_props = None
+        while True:
+            tokens = f.readline().decode("ascii", "replace").strip().split()
+            if not tokens or tokens[0] == "comment":
+                continue
+            if tokens[0] == "format":
+                fmt = tokens[1]
+            elif tokens[0] == "element":
+                cur_props = []
+                elements.append((tokens[1], int(tokens[2]), cur_props))
+            elif tokens[0] == "property":
+                if tokens[1] == "list":
+                    cur_props.append((tokens[-1], ("list", tokens[2], tokens[3])))
+                else:
+                    cur_props.append((tokens[-1], tokens[1]))
+            elif tokens[0] == "end_header":
+                break
+        name, count, props = next(e for e in elements if e[0] == "vertex")
+        names = [n for n, _ in props]
+        has_color = all(c in names for c in ("red", "green", "blue"))
+        if fmt == "ascii":
+            rows = [f.readline().split() for _ in range(count)]
+            xyz_idx = [names.index(k) for k in ("x", "y", "z")]
+            pts = np.asarray(
+                [[float(r[i]) for i in xyz_idx] for r in rows], dtype=np.float64
+            )
+            colors = None
+            if has_color:
+                c_idx = [names.index(k) for k in ("red", "green", "blue")]
+                colors = np.asarray(
+                    [[float(r[i]) for i in c_idx] for r in rows], dtype=np.uint8
+                )
+            return pts, colors
+        endian = "<" if fmt != "binary_big_endian" else ">"
+        dtype = np.dtype([(n, endian + _DTYPES[t]) for n, t in props])
+        data = np.frombuffer(f.read(count * dtype.itemsize), dtype=dtype, count=count)
+        pts = np.stack([data["x"], data["y"], data["z"]], axis=1).astype(np.float64)
+        colors = None
+        if has_color:
+            colors = np.stack(
+                [data["red"], data["green"], data["blue"]], axis=1
+            ).astype(np.uint8)
+        return pts, colors
+
+
 def read_ply_mesh(path: str):
     """Read vertices and (triangulated) faces from a PLY file.
 

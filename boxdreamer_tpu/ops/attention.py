@@ -1,19 +1,24 @@
-"""Fused multi-head attention for TPU: Pallas flash kernel + XLA reference.
+"""Fused multi-head attention for TPU: Pallas flash kernels + XLA reference.
 
 Replaces the reference's attention backend switch (flash-attn CUDA -> torch
 SDPA -> naive matmul, src/models/modules/backbone/utils/blocks.py:208-302)
-with a TPU-native pair:
+with a TPU-native set:
 
-  * :func:`flash_attention` — a Pallas online-softmax kernel: streams K/V in
-    VMEM blocks, keeps running max/denominator/accumulator in f32, never
-    materializes the (N, N) score matrix in HBM. Head dim is zero-padded to
-    the 128-lane width (padding contributes 0 to q·k and is sliced off the
-    output). Sequence length is padded to the block size with -inf-masked
-    keys.
+  * :func:`flash_attention` — Pallas online-softmax forward. The KV sequence
+    is a GRID axis (minor-most), so each program holds only one
+    (block_q, D) query tile and one (block_k, D) KV tile in VMEM with
+    f32 running max/denominator/accumulator in VMEM scratch carried across
+    KV steps — VMEM use is O(block_q*D + block_k*D), independent of N, so
+    dense-mode sequences of tens of thousands of tokens fit. Optionally
+    returns the per-query logsumexp for sequence-parallel combination.
+  * :func:`_flash_bwd_dq_kernel` / :func:`_flash_bwd_dkv_kernel` — Pallas
+    backward: dq streams KV blocks, dk/dv streams Q blocks; both use the
+    saved output + logsumexp (no (N, N) materialization, no softmax
+    recomputation in XLA).
   * :func:`mha_reference` — plain XLA einsum+softmax (f32 accumulation),
     used on CPU and as the correctness oracle in tests.
 
-Both take (B, H, N, D) and return (B, H, N, D), preserving input dtype.
+All take (B, H, N, D) and return (B, H, N, D), preserving input dtype.
 """
 
 from __future__ import annotations
@@ -48,53 +53,64 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax
     return out.astype(out_dtype)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, n_valid: int, block_k: int):
-    """One (batch*head, q-block) program: online softmax over K/V blocks."""
-    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
-    bq, d = q.shape
-    n_kv = k_ref.shape[1]
-    num_kb = n_kv // block_k
-
-    m = jnp.full((bq, 1), NEG_INF, dtype=jnp.float32)
-    l = jnp.zeros((bq, 1), dtype=jnp.float32)
-    acc = jnp.zeros((bq, d), dtype=jnp.float32)
-
-    def body(j, carry):
-        m, l, acc = carry
-        kb = k_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        vb = v_ref[0, pl.ds(j * block_k, block_k), :].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            q,
-            kb,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (BQ, BK)
-        # Mask keys beyond the true sequence length (padding).
-        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
-        s = jnp.where(col < n_valid, s, NEG_INF)
-
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_new = acc * alpha + jax.lax.dot_general(
-            p,
-            vb,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return m_new, l_new, acc_new
-
-    m, l, acc = jax.lax.fori_loop(0, num_kb, body, (m, l, acc))
-    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
-
-
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _flash_fwd_kernel(
+    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
+    *, scale: float, n_valid: int, block_k: int, num_kb: int
+):
+    """Grid (BH, num_q_blocks, num_kv_blocks), KV minor-most. Scratch carries
+    the online-softmax state across KV steps; output written on the last."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+    kb = k_ref[0].astype(jnp.float32)  # (BK, D)
+    vb = v_ref[0].astype(jnp.float32)
+    bq = q.shape[0]
+
+    s = jax.lax.dot_general(
+        q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (BQ, BK)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
+    s = jnp.where(col < n_valid, s, NEG_INF)
+
+    m_prev = m_scr[:, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_new = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, vb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    acc_scr[:] = acc_new
+
+    @pl.when(j == num_kb - 1)
+    def _emit():
+        l = jnp.maximum(l_scr[:, :1], 1e-30)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = (m_scr[:, :1] + jnp.log(l)).astype(jnp.float32)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=("scale", "block_q", "block_k", "interpret", "return_lse"),
 )
 def flash_attention(
     q: jax.Array,
@@ -104,94 +120,320 @@ def flash_attention(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
-) -> jax.Array:
-    """Pallas flash attention.
+    return_lse: bool = False,
+):
+    """Pallas flash attention forward (KV-streaming, VMEM-bounded).
 
     Args:
-        q, k, v: (B, H, N, D).
+        q: (B, H, Nq, D); k, v: (B, H, Nk, D). Nq may differ from Nk
+           (sequence-parallel query shards attend over full/partial KV).
         scale: softmax scale (typically D**-0.5 on the unpadded D).
+        return_lse: also return the per-query logsumexp (B, H, Nq) in f32 —
+           the combination state for ring/sharded attention.
 
     Returns:
-        (B, H, N, D) in the dtype of ``q``.
+        (B, H, Nq, D) in the dtype of ``q`` (plus LSE when requested).
     """
-    B, H, N, D = q.shape
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
     out_dtype = q.dtype
 
     D_pad = _round_up(D, LANE)
-    block_q = min(block_q, _round_up(N, LANE))
-    block_k = min(block_k, _round_up(N, LANE))
-    N_pad = _round_up(N, max(block_q, block_k))
+    block_q = min(block_q, _round_up(Nq, LANE))
+    block_k = min(block_k, _round_up(Nk, LANE))
+    Nq_pad = _round_up(Nq, block_q)
+    Nk_pad = _round_up(Nk, block_k)
 
-    def pad(x):
-        x = x.reshape(B * H, N, D)
-        return jnp.pad(x, ((0, 0), (0, N_pad - N), (0, D_pad - D)))
+    def pad(x, n_pad):
+        n = x.shape[2]
+        x = x.reshape(B * H, n, D)
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, D_pad - D)))
 
-    qp, kp, vp = pad(q), pad(k), pad(v)
+    qp = pad(q, Nq_pad)
+    kp = pad(k, Nk_pad)
+    vp = pad(v, Nk_pad)
+    num_kb = Nk_pad // block_k
 
-    grid = (B * H, N_pad // block_q)
-    out = pl.pallas_call(
+    grid = (B * H, Nq_pad // block_q, num_kb)
+    out, lse = pl.pallas_call(
         functools.partial(
-            _flash_kernel, scale=scale, n_valid=N, block_k=block_k
+            _flash_fwd_kernel,
+            scale=scale,
+            n_valid=Nk,
+            block_k=block_k,
+            num_kb=num_kb,
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (1, block_q, D_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                (1, block_q, D_pad), lambda b, i, j: (b, i, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, N_pad, D_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, block_k, D_pad), lambda b, i, j: (b, j, 0),
+                memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, N_pad, D_pad), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+                (1, block_k, D_pad), lambda b, i, j: (b, j, 0),
+                memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, block_q, D_pad), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((B * H, N_pad, D_pad), out_dtype),
+        out_specs=[
+            pl.BlockSpec(
+                (1, block_q, D_pad), lambda b, i, j: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, block_q, 1), lambda b, i, j: (b, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Nq_pad, D_pad), out_dtype),
+            # (BH, N, 1): a trailing singleton keeps the block shape legal
+            # ((block_q, 1) with 1 == full dim) under TPU tiling rules.
+            jax.ShapeDtypeStruct((B * H, Nq_pad, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANE), jnp.float32),  # running max
+            pltpu.VMEM((block_q, LANE), jnp.float32),  # running denominator
+            pltpu.VMEM((block_q, D_pad), jnp.float32),  # output accumulator
+        ],
         interpret=interpret,
     )(qp, kp, vp)
-    return out[:, :N, :D].reshape(B, H, N, D)
+    out = out[:, :Nq, :D].reshape(B, H, Nq, D)
+    if return_lse:
+        return out, lse[:, :Nq, 0].reshape(B, H, Nq)
+    return out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _flash_attention_ad(q, k, v, scale):
-    return flash_attention(q, k, v, scale)
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
 
 
-def _flash_ad_fwd(q, k, v, scale):
-    return flash_attention(q, k, v, scale), (q, k, v)
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
+    *, scale: float, n_valid_k: int, block_k: int, num_kb: int
+):
+    """Grid (BH, num_q_blocks, num_kv_blocks): accumulate dq over KV steps.
 
+    dq_i = scale * sum_j ds_ij k_j, ds = p * (dO v^T - delta)."""
+    j = pl.program_id(2)
 
-def _flash_ad_bwd(scale, residuals, g):
-    """Standard attention backward in XLA (f32 accumulation). pallas_call has
-    no autodiff rule, so training recomputes the (N, N) attention matrix for
-    the backward — fine at BETR/DINOv2 sequence lengths; the forward stays
-    on the flash kernel."""
-    q, k, v = residuals
-    s = jnp.einsum(
-        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0].astype(jnp.float32)
+    kb = k_ref[0].astype(jnp.float32)
+    vb = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)
+    lse = lse_ref[0]  # (BQ, 1)
+    delta = delta_ref[0]
+    bq = q.shape[0]
+
+    s = jax.lax.dot_general(
+        q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) * scale
-    p = jax.nn.softmax(s, axis=-1)
-    g32 = g.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, g32, preferred_element_type=jnp.float32)
-    dp = jnp.einsum(
-        "bhqd,bhkd->bhqk", g32, v.astype(jnp.float32),
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
+    s = jnp.where(col < n_valid_k, s, NEG_INF)
+    p = jnp.exp(s - lse)  # (BQ, BK); rows past n_valid_q are garbage, sliced off
+    dp = jax.lax.dot_general(
+        do, vb, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum(
-        "bhqk,bhkd->bhqd", ds, k.astype(jnp.float32),
+    ds = p * (dp - delta)
+    dq_scr[:] += scale * jax.lax.dot_general(
+        ds, kb, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == num_kb - 1)
+    def _emit():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr,
+    *, scale: float, n_valid_q: int, block_q: int, num_qb: int
+):
+    """Grid (BH, num_kv_blocks, num_q_blocks): accumulate dk/dv over Q steps.
+
+    dv_j = sum_i p_ij^T dO_i;  dk_j = scale * sum_i ds_ij^T q_i."""
+    i = pl.program_id(2)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
+    kb = k_ref[0].astype(jnp.float32)  # (BK, D)
+    vb = v_ref[0].astype(jnp.float32)
+    do = do_ref[0].astype(jnp.float32)  # (BQ, D)
+    lse = lse_ref[0][:, 0][None, :]  # (1, BQ)
+    delta = delta_ref[0][:, 0][None, :]
+    bk = kb.shape[0]
+    bq = q.shape[0]
+
+    # s^T directly: (BK, BQ)
+    st = jax.lax.dot_general(
+        kb, q, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale
-    dk = jnp.einsum(
-        "bhqk,bhqd->bhkd", ds, q.astype(jnp.float32),
+    # Mask padded query rows so they contribute nothing to dk/dv.
+    qcol = jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 1) + i * block_q
+    pt = jnp.where(qcol < n_valid_q, jnp.exp(st - lse), 0.0)
+    dv_scr[:] += jax.lax.dot_general(
+        pt, do, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    )
+    dpt = jax.lax.dot_general(
+        vb, do, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BK, BQ)
+    dst = pt * (dpt - delta)
+    dk_scr[:] += scale * jax.lax.dot_general(
+        dst, q, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == num_qb - 1)
+    def _emit():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+)
+def flash_attention_bwd(
+    q, k, v, out, lse, g,
+    scale: float,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+):
+    """Pallas flash backward: (dq, dk, dv) without materializing (N, N).
+
+    Args:
+        q, k, v: (B, H, N, D) saved inputs. out: saved forward output.
+        lse: (B, H, N) saved logsumexp. g: (B, H, N, D) output cotangent.
+    """
+    B, H, Nq, D = q.shape
+    Nk = k.shape[2]
+
+    D_pad = _round_up(D, LANE)
+    block_q = min(block_q, _round_up(Nq, LANE))
+    block_k = min(block_k, _round_up(Nk, LANE))
+    Nq_pad = _round_up(Nq, block_q)
+    Nk_pad = _round_up(Nk, block_k)
+    num_qb = Nq_pad // block_q
+    num_kb = Nk_pad // block_k
+
+    # delta_i = dO_i . O_i (f32), O(N*D) in XLA.
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )  # (B, H, Nq)
+
+    def pad3(x, n_pad):
+        n = x.shape[2]
+        x = x.reshape(B * H, n, D)
+        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, D_pad - D)))
+
+    def pad2(x, n_pad):
+        x = x.reshape(B * H, x.shape[2], 1)
+        return jnp.pad(x, ((0, 0), (0, n_pad - x.shape[1]), (0, 0)))
+
+    qp, kp, vp = pad3(q, Nq_pad), pad3(k, Nk_pad), pad3(v, Nk_pad)
+    gp = pad3(g, Nq_pad)
+    lsep = pad2(lse, Nq_pad)
+    deltap = pad2(delta, Nq_pad)
+
+    q_spec_i = pl.BlockSpec(
+        (1, block_q, D_pad), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec_j = pl.BlockSpec(
+        (1, block_k, D_pad), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+    )
+    row_spec_i = pl.BlockSpec(
+        (1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dq_kernel,
+            scale=scale, n_valid_k=Nk, block_k=block_k, num_kb=num_kb,
+        ),
+        grid=(B * H, num_qb, num_kb),
+        in_specs=[q_spec_i, kv_spec_j, kv_spec_j, q_spec_i, row_spec_i, row_spec_i],
+        out_specs=q_spec_i,
+        out_shape=jax.ShapeDtypeStruct((B * H, Nq_pad, D_pad), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D_pad), jnp.float32)],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lsep, deltap)
+
+    # dk/dv: grid iterates Q blocks minor-most for each KV block.
+    q_spec_i2 = pl.BlockSpec(
+        (1, block_q, D_pad), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    kv_spec_j2 = pl.BlockSpec(
+        (1, block_k, D_pad), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM
+    )
+    row_spec_i2 = pl.BlockSpec(
+        (1, block_q, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(
+            _flash_bwd_dkv_kernel,
+            scale=scale, n_valid_q=Nq, block_q=block_q, num_qb=num_qb,
+        ),
+        grid=(B * H, num_kb, num_qb),
+        in_specs=[
+            q_spec_i2, kv_spec_j2, kv_spec_j2, q_spec_i2, row_spec_i2, row_spec_i2
+        ],
+        out_specs=[kv_spec_j2, kv_spec_j2],
+        out_shape=[
+            jax.ShapeDtypeStruct((B * H, Nk_pad, D_pad), k.dtype),
+            jax.ShapeDtypeStruct((B * H, Nk_pad, D_pad), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D_pad), jnp.float32),
+            pltpu.VMEM((block_k, D_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qp, kp, vp, gp, lsep, deltap)
+
+    dq = dq[:, :Nq, :D].reshape(B, H, Nq, D)
+    dk = dk[:, :Nk, :D].reshape(B, H, Nk, D)
+    dv = dv[:, :Nk, :D].reshape(B, H, Nk, D)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_attention_ad(q, k, v, scale, interpret=False):
+    return flash_attention(q, k, v, scale, interpret=interpret)
+
+
+def _flash_ad_fwd(q, k, v, scale, interpret=False):
+    out, lse = flash_attention(q, k, v, scale, interpret=interpret, return_lse=True)
+    return out, (q, k, v, out, lse)
+
+
+def _flash_ad_bwd(scale, interpret, residuals, g):
+    q, k, v, out, lse = residuals
+    return flash_attention_bwd(q, k, v, out, lse, g, scale, interpret=interpret)
 
 
 _flash_attention_ad.defvjp(_flash_ad_fwd, _flash_ad_bwd)
+
+
+def flash_attention_ad(q, k, v, scale, interpret=False):
+    """Differentiable flash attention (Pallas forward AND backward)."""
+    return _flash_attention_ad(q, k, v, scale, interpret)
 
 
 # Below this sequence length XLA's fused attention wins on TPU (measured on
@@ -205,9 +447,112 @@ def multi_head_attention(
     q: jax.Array, k: jax.Array, v: jax.Array, scale: float
 ) -> jax.Array:
     """Backend dispatch: on TPU, XLA fused attention for short sequences and
-    the Pallas flash kernel (with an XLA custom-VJP backward so training
-    differentiates) beyond FLASH_MIN_SEQ_LEN; XLA reference elsewhere."""
+    the Pallas flash kernel (Pallas forward + Pallas backward) beyond
+    FLASH_MIN_SEQ_LEN; XLA reference elsewhere."""
     platform = jax.default_backend()
     if platform == "tpu" and q.shape[-2] > FLASH_MIN_SEQ_LEN:
-        return _flash_attention_ad(q, k, v, scale)
+        return _flash_attention_ad(q, k, v, scale, False)
     return mha_reference(q, k, v, scale)
+
+
+# ---------------------------------------------------------------------------
+# sequence-parallel (ring) attention over a mesh axis
+# ---------------------------------------------------------------------------
+
+
+def _attn_with_lse(q, k, v, scale, use_flash, interpret, block_q, block_k):
+    if use_flash:
+        return flash_attention(
+            q, k, v, scale,
+            block_q=block_q, block_k=block_k,
+            interpret=interpret, return_lse=True,
+        )
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    lse = jax.scipy.special.logsumexp(s, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        jax.nn.softmax(s, axis=-1).astype(q.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+    return out, lse
+
+
+def sequence_parallel_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    mesh,
+    axis: str = "data",
+    use_flash: bool | None = None,
+    interpret: bool = False,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jax.Array:
+    """Ring attention: tokens sharded over a mesh axis, KV shards rotated
+    around the ring with ``lax.ppermute``, partial results combined exactly
+    via logsumexp reweighting (SURVEY.md §2.5's forward-looking requirement —
+    dense-reference eval with token counts beyond one chip's HBM/VMEM).
+
+    Each of the P devices holds (B, H, N/P, D) of q/k/v; peak memory per
+    device is O(N/P) and the (N, N) score matrix never exists. Inside the
+    ring the local compute is the Pallas flash kernel (TPU) or the XLA
+    reference (CPU tests).
+
+    Args:
+        q, k, v: (B, H, N, D) global arrays (sharded or to-be-sharded);
+            N must divide by the size of ``axis``.
+        mesh: jax.sharding.Mesh containing ``axis``.
+        use_flash: force the kernel choice; default = flash on TPU.
+
+    Returns:
+        (B, H, N, D), sharded over ``axis`` on the token dim.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    if use_flash is None:
+        use_flash = jax.default_backend() == "tpu"
+    n_shards = mesh.shape[axis]
+    assert q.shape[2] % n_shards == 0, (q.shape, n_shards)
+
+    def local(q_l, k_l, v_l):
+        o, lse = _attn_with_lse(
+            q_l, k_l, v_l, scale, use_flash, interpret, block_q, block_k
+        )
+        o = o.astype(jnp.float32)
+        perm = [(j, (j + 1) % n_shards) for j in range(n_shards)]
+
+        # o tracks the normalized-so-far output; each ring step does a
+        # numerically stable pairwise logsumexp combine with the new shard.
+        def body(_, carry):
+            o, lse, k_c, v_c = carry
+            k_c = jax.lax.ppermute(k_c, axis, perm)
+            v_c = jax.lax.ppermute(v_c, axis, perm)
+            o_i, lse_i = _attn_with_lse(
+                q_l, k_c, v_c, scale, use_flash, interpret, block_q, block_k
+            )
+            m = jnp.maximum(lse, lse_i)
+            w0 = jnp.exp(lse - m)
+            w1 = jnp.exp(lse_i - m)
+            denom = w0 + w1
+            o = (
+                o * (w0 / denom)[..., None]
+                + o_i.astype(jnp.float32) * (w1 / denom)[..., None]
+            )
+            lse = m + jnp.log(denom)
+            return o, lse, k_c, v_c
+
+        o, lse, _, _ = jax.lax.fori_loop(
+            1, n_shards, body, (o, lse, k_l, v_l)
+        )
+        return o.astype(q_l.dtype)
+
+    spec = P(None, None, axis, None)
+    # check_vma=False: pallas_call outputs carry no varying-mesh-axes info.
+    return jax.shard_map(
+        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)

@@ -32,9 +32,9 @@ def build_reconstructor(backend: str):
 
         return DUSt3RReconstructor()
     if backend == "colmap":
-        raise SystemExit(
-            "colmap backend requires pycolmap; not available in this build"
-        )
+        from boxdreamer_tpu.reconstruction.colmap import COLMAPReconstructor
+
+        return COLMAPReconstructor()
     raise SystemExit(f"unknown backend {backend} (carve | dust3r | colmap)")
 
 

@@ -117,8 +117,15 @@ class CheckpointManager:
     def save_last(self, state: Any) -> None:
         save_checkpoint(self.last_path, state, force=True)
 
-    def maybe_save_best(self, state: Any, value: float) -> bool:
-        if self.best is None or value < self.best:
+    def maybe_save_best(self, state: Any, value: float, mode: str = "min") -> bool:
+        """Keep the best checkpoint by the monitored value. mode='min' for
+        losses/errors, 'max' for accuracy metrics (e.g. val ADD-0.1d)."""
+        better = (
+            self.best is None
+            or (mode == "min" and value < self.best)
+            or (mode == "max" and value > self.best)
+        )
+        if better:
             self.best = value
             save_checkpoint(os.path.join(self.directory, "best"), state, force=True)
             return True

@@ -60,6 +60,15 @@ class TrainerConfig:
     mesh_data: int = -1
     mesh_model: int = 1
     seed: int = 42
+    # Checkpoint-best monitor: any key returned by validate() — 'val_loss'
+    # (reference default, configs/callbacks/default.yaml:2) or a pose metric
+    # like 'val_ADD-0.1d' for checkpoint-best-by-ADD. monitor_mode 'auto'
+    # infers min for losses/errors, max for accuracy metrics.
+    monitor: str = "val_loss"
+    monitor_mode: str = "auto"
+    # Compute the pose-metric suite during validation (reference
+    # validation_step -> Metrics, BoxDreamer_lightning_model.py:126-217).
+    val_pose_metrics: bool = True
 
 
 class Trainer:
@@ -108,6 +117,8 @@ class Trainer:
         )
         self.state: Optional[TrainState] = None
         self._history: List[Dict] = []
+        self._val_eval_step = None
+        self._val_evaluator: Optional[Evaluator] = None
 
     # ------------------------------------------------------------------ setup
 
@@ -221,8 +232,18 @@ class Trainer:
                         raise StopIteration
                 if val_datasets and (epoch + 1) % cfg.check_val_every_n_epoch == 0:
                     val = self.validate(val_datasets)
-                    if "val_loss" in val:
-                        self.ckpt.maybe_save_best(self.state, val["val_loss"])
+                    if self.logger is not None and val:
+                        self.logger.log_metrics(val, total_steps)
+                    key = cfg.monitor if cfg.monitor in val else "val_loss"
+                    if key in val:
+                        if key != cfg.monitor:
+                            WARNING(
+                                f"monitor '{cfg.monitor}' not in validation "
+                                f"output; falling back to val_loss"
+                            )
+                        self.ckpt.maybe_save_best(
+                            self.state, val[key], mode=self._monitor_mode(key)
+                        )
         except StopIteration:
             pass
         finally:
@@ -232,10 +253,27 @@ class Trainer:
 
     # -------------------------------------------------------------- validate
 
+    def _monitor_mode(self, key: str) -> str:
+        if self.cfg.monitor_mode in ("min", "max"):
+            return self.cfg.monitor_mode
+        # auto: losses/errors go down, accuracy/AUC metrics go up.
+        lowered = key.lower()
+        if any(s in lowered for s in ("loss", "err", "raw")):
+            return "min"
+        return "max"
+
     def validate(self, val_datasets: Sequence) -> Dict[str, float]:
         """Validation: loss over the val sets + pose metric suite
-        (reference validation_step + on_validation_epoch_end)."""
-        eval_step = make_eval_step(self.model, self.val_loss)
+        (reference validation_step + on_validation_epoch_end,
+        BoxDreamer_lightning_model.py:126-217).
+
+        Returns a flat dict: 'val_loss' plus 'val_<metric>' for every
+        aggregate pose metric (e.g. 'val_ADD-0.1d', 'val_Proj2D@5px',
+        'val_avg_err_R'), taking the 'all' category bucket.
+        """
+        if self._val_eval_step is None:
+            self._val_eval_step = make_eval_step(self.model, self.val_loss)
+        eval_step = self._val_eval_step
         losses = []
         for ds in val_datasets:
             loader = DataLoader(ds, batch_size=self.cfg.batch_size, shuffle=False)
@@ -248,8 +286,35 @@ class Trainer:
                 _, m = eval_step(self.state.params, device_batch)
                 losses.append(float(m["val_loss"]))
         out = {"val_loss": float(np.mean(losses))} if losses else {}
+
+        if self.cfg.val_pose_metrics:
+            if self._val_evaluator is None:
+                self._val_evaluator = Evaluator(
+                    self.model,
+                    self.state.params,
+                    metrics_config=self.metrics_config,
+                    batch_size=self.cfg.batch_size,
+                    num_workers=self.cfg.num_workers,
+                )
+            self._val_evaluator.params = self.state.params
+            for i, ds in enumerate(val_datasets):
+                agg = self._val_evaluator.run_dataset(ds, dataloader_id=i).aggregate()
+                for key, cats in agg.items():
+                    # 'ADD-0.1d 0' -> 'val_ADD-0.1d' (first loader unsuffixed,
+                    # like the reference's val logging); others keep the id.
+                    base = key.rsplit(" ", 1)[0] if key.endswith(f" {i}") else key
+                    base = base.rsplit("_", 1)[0] if key.endswith(f"_{i}") else base
+                    name = f"val_{base}" if i == 0 else f"val_{base}_{i}"
+                    val = cats.get("all")
+                    if val is None and cats:
+                        val = float(np.mean(list(cats.values())))
+                    if val is not None:
+                        out[name] = float(val)
         if out:
-            INFO(f"validation: {out}")
+            INFO(
+                "validation: "
+                + " ".join(f"{k}={v:.4f}" for k, v in sorted(out.items()))
+            )
         return out
 
     def test(self, test_datasets: Sequence, output_json="test_metrics.json") -> Dict:

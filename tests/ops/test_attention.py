@@ -62,18 +62,55 @@ def test_dispatch_runs_on_cpu():
     assert out.shape == q.shape
 
 
-def test_custom_vjp_backward_matches_autodiff():
-    """The hand-written attention backward (used under the TPU flash kernel)
-    must match jax.grad of the reference implementation."""
-    q, k, v = make_qkv(jax.random.PRNGKey(7), B=1, H=2, N=64, D=32)
-    scale = 32**-0.5
+@pytest.mark.parametrize(
+    "B,H,N,D", [(1, 2, 64, 32), (1, 1, 300, 48), (2, 2, 640, 64)]
+)
+def test_pallas_backward_matches_autodiff(B, H, N, D):
+    """The Pallas backward kernels (dq via KV streaming, dk/dv via Q
+    streaming) must match jax.grad of the reference implementation —
+    including at lengths that are not block multiples (padding masking)."""
+    q, k, v = make_qkv(jax.random.PRNGKey(7), B=B, H=H, N=N, D=D)
+    scale = D**-0.5
     g = jax.random.normal(jax.random.PRNGKey(8), q.shape)
 
     def ref_loss(q, k, v):
         return (attention.mha_reference(q, k, v, scale) * g).sum()
 
+    def flash_loss(q, k, v):
+        return (attention.flash_attention_ad(q, k, v, scale, interpret=True) * g).sum()
+
     dq_ref, dk_ref, dv_ref = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
-    dq, dk, dv = attention._flash_ad_bwd(scale, (q, k, v), g)
-    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=1e-4)
-    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=1e-4)
+    dq, dk, dv = jax.grad(flash_loss, argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(dq_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=2e-4)
+
+
+def test_flash_lse_matches_reference():
+    """return_lse: logsumexp must equal the reference computation (it is the
+    sequence-parallel combination state)."""
+    q, k, v = make_qkv(jax.random.PRNGKey(9), B=1, H=2, N=200, D=32)
+    scale = 32**-0.5
+    out, lse = attention.flash_attention(
+        q, k, v, scale, interpret=True, return_lse=True
+    )
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+    lse_ref = jax.scipy.special.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_ref), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(out),
+        np.asarray(attention.mha_reference(q, k, v, scale)),
+        atol=2e-5,
+    )
+
+
+def test_flash_cross_attention_shapes():
+    """Nq != Nk (sequence-parallel query shards attend over larger KV)."""
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (1, 2, 128, 32))
+    k = jax.random.normal(ks[1], (1, 2, 512, 32))
+    v = jax.random.normal(ks[2], (1, 2, 512, 32))
+    out = attention.flash_attention(q, k, v, 32**-0.5, interpret=True)
+    ref = attention.mha_reference(q, k, v, 32**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)

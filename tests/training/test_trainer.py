@@ -97,3 +97,42 @@ def test_fit_with_device_bbox_feat(fixture_root, tmp_path):
     trainer = make_trainer(tmp_path)
     state = trainer.fit(train_ds, [], max_steps=2)
     assert int(state.step) == 2
+
+
+def test_validate_returns_pose_metric_suite(fixture_root, tmp_path):
+    """Validation computes the full pose-metric suite (reference
+    BoxDreamer_lightning_model.py:126-217), not just val_loss."""
+    cfg = DatasetConfig(image_size=28, length=3)
+    train_ds = build_dataset("LINEMOD", cfg, "train", root=fixture_root)
+    val_ds = build_dataset("LINEMOD", cfg, "val", root=fixture_root)
+    trainer = make_trainer(tmp_path)
+    trainer.fit(train_ds, [], max_steps=1)
+    out = trainer.validate([val_ds])
+    assert "val_loss" in out
+    assert "val_ADD-0.1d" in out
+    assert "val_proj2D@5px" in out
+    assert "val_avg_err_R" in out
+    assert 0.0 <= out["val_ADD-0.1d"] <= 1.0
+
+
+def test_checkpoint_best_by_add(fixture_root, tmp_path):
+    """monitor='val_ADD-0.1d' selects max-mode and flips the best checkpoint
+    when ADD improves (VERDICT round-1 item 4)."""
+    cfg = DatasetConfig(image_size=28, length=3)
+    train_ds = build_dataset("LINEMOD", cfg, "train", root=fixture_root)
+    val_ds = build_dataset("LINEMOD", cfg, "val", root=fixture_root)
+    trainer = make_trainer(
+        tmp_path, monitor="val_ADD-0.1d", check_val_every_n_epoch=1
+    )
+    trainer.cfg.max_epochs = 1
+    trainer.fit(train_ds, [val_ds])
+    assert trainer._monitor_mode("val_ADD-0.1d") == "max"
+    assert trainer._monitor_mode("val_loss") == "min"
+    assert trainer.ckpt.best is not None  # best ckpt selected on ADD
+    import os as _os
+
+    assert _os.path.exists(_os.path.join(trainer.cfg.checkpoint_dir, "best"))
+    # max-mode semantics: a better (higher) ADD flips best; a worse one doesn't.
+    prev = trainer.ckpt.best
+    assert not trainer.ckpt.maybe_save_best(trainer.state, prev - 1.0, mode="max")
+    assert trainer.ckpt.maybe_save_best(trainer.state, prev + 1.0, mode="max")
