@@ -107,9 +107,18 @@ def farthest_point_sample_cameras(
     """
     N = len(centers)
     n = min(n, N)
-    selected = [start_idx]
-    dists = np.linalg.norm(centers - centers[start_idx], axis=1)
-    for _ in range(n - 1):
+    if start_idx == -1:
+        # Reference semantics for query_idx=-1 (_fps_sample, view_sampler.py:
+        # 62-75): seed from the MEAN camera center; the first selected view is
+        # the one farthest from it, and all n selections come from the loop.
+        dists = np.linalg.norm(centers - centers.mean(axis=0), axis=1)
+        selected = []
+        iters = n
+    else:
+        selected = [start_idx]
+        dists = np.linalg.norm(centers - centers[start_idx], axis=1)
+        iters = n - 1
+    for _ in range(iters):
         nxt = int(np.argmax(dists))
         selected.append(nxt)
         dists = np.minimum(dists, np.linalg.norm(centers - centers[nxt], axis=1))

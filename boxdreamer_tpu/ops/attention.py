@@ -31,8 +31,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-DEFAULT_BLOCK_Q = 256
-DEFAULT_BLOCK_K = 256
+# Block sweep on v5e at BETR shape (B=8, H=8, N=1536, D=96): (512, 1536) is
+# 1.6x faster than (256, 256) — bigger KV blocks amortize the q-block reload
+# and per-program overhead; VMEM stays small (k+v blocks ~0.8 MB bf16, the
+# (block_q, block_k) f32 score tile ~3 MB).
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_K = 1536
 NEG_INF = -1e30
 
 
@@ -76,15 +80,17 @@ def _flash_fwd_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
-    kb = k_ref[0].astype(jnp.float32)  # (BK, D)
-    vb = v_ref[0].astype(jnp.float32)
+    # Native-dtype (bf16) MXU matmuls with f32 accumulation: upcasting the
+    # inputs to f32 would push the dots onto the 4x-slower f32 MXU path.
+    q = q_ref[0]  # (BQ, D)
+    kb = k_ref[0]  # (BK, D)
+    vb = v_ref[0]
     bq = q.shape[0]
 
     s = jax.lax.dot_general(
         q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (BQ, BK)
+    ) * scale  # (BQ, BK) f32
     col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
     s = jnp.where(col < n_valid, s, NEG_INF)
 
@@ -94,7 +100,7 @@ def _flash_fwd_kernel(
     alpha = jnp.exp(m_prev - m_new)
     l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_new = acc_scr[:] * alpha + jax.lax.dot_general(
-        p, vb, dimension_numbers=(((1,), (0,)), ((), ())),
+        p.astype(vb.dtype), vb, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -225,10 +231,10 @@ def _flash_bwd_dq_kernel(
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0].astype(jnp.float32)
-    kb = k_ref[0].astype(jnp.float32)
-    vb = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
+    q = q_ref[0]
+    kb = k_ref[0]
+    vb = v_ref[0]
+    do = do_ref[0]
     lse = lse_ref[0]  # (BQ, 1)
     delta = delta_ref[0]
     bq = q.shape[0]
@@ -244,7 +250,7 @@ def _flash_bwd_dq_kernel(
         do, vb, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    ds = p * (dp - delta)
+    ds = (p * (dp - delta)).astype(kb.dtype)
     dq_scr[:] += scale * jax.lax.dot_general(
         ds, kb, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -270,10 +276,10 @@ def _flash_bwd_dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0].astype(jnp.float32)  # (BQ, D)
-    kb = k_ref[0].astype(jnp.float32)  # (BK, D)
-    vb = v_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)  # (BQ, D)
+    q = q_ref[0]  # (BQ, D)
+    kb = k_ref[0]  # (BK, D)
+    vb = v_ref[0]
+    do = do_ref[0]  # (BQ, D)
     lse = lse_ref[0][:, 0][None, :]  # (1, BQ)
     delta = delta_ref[0][:, 0][None, :]
     bk = kb.shape[0]
@@ -288,14 +294,14 @@ def _flash_bwd_dkv_kernel(
     qcol = jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 1) + i * block_q
     pt = jnp.where(qcol < n_valid_q, jnp.exp(st - lse), 0.0)
     dv_scr[:] += jax.lax.dot_general(
-        pt, do, dimension_numbers=(((1,), (0,)), ((), ())),
+        pt.astype(do.dtype), do, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     dpt = jax.lax.dot_general(
         vb, do, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (BK, BQ)
-    dst = pt * (dpt - delta)
+    dst = (pt * (dpt - delta)).astype(q.dtype)
     dk_scr[:] += scale * jax.lax.dot_general(
         dst, q, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -436,11 +442,11 @@ def flash_attention_ad(q, k, v, scale, interpret=False):
     return _flash_attention_ad(q, k, v, scale, interpret)
 
 
-# Below this sequence length XLA's fused attention wins on TPU (measured on
-# v5e at BETR/DINOv2 shapes: XLA ~0.8x the flash kernel's time at N=1536,
-# flash ~0.8x XLA at N=4096); the flash kernel takes over where the (N, N)
-# score materialization starts to hurt.
-FLASH_MIN_SEQ_LEN = 2048
+# Dispatch crossover, measured honestly on v5e (chained lax.scan, fetched
+# outputs): at N=1536/B=8/H=8/D=96 flash = 1.60 ms vs XLA einsum+softmax
+# 2.79 ms (the XLA path is HBM-bound on the f32 (N, N) materialization);
+# at DINOv2's N=261 XLA wins (0.96 vs 1.39 ms — grid overhead dominates).
+FLASH_MIN_SEQ_LEN = 1024
 
 
 def multi_head_attention(

@@ -111,6 +111,59 @@ def convert_models(bop_root: str, out_root: str, link: bool = True) -> int:
     return n
 
 
+# LINEMOD object-id -> name table (reference linemod_o_process.py:18-33).
+LM_OB_ID_TO_NAMES: Dict[int, str] = {
+    1: "ape", 2: "benchvise", 3: "bowl", 4: "camera", 5: "water_pour",
+    6: "cat", 7: "cup", 8: "driller", 9: "duck", 10: "eggbox", 11: "glue",
+    12: "holepuncher", 13: "iron", 14: "lamp", 15: "phone",
+}
+
+
+def convert_lmo(
+    root: str,
+    scene: str = "000002",
+    out_dir: Optional[str] = None,
+    link: bool = True,
+) -> str:
+    """LINEMOD-Occlusion preprocessing (reference linemod_o_process.py:1-91):
+    split BOP scene 000002's per-frame multi-object annotations into
+    per-object-NAME directories (``test-preprocessed/<name>/NNNNNN-color.png``
+    + -pose.txt + -box.txt), translations mm -> m, boxes from ``bbox_obj``
+    (the full object box — the reference uses it, not bbox_visib)."""
+    scene_dir = os.path.join(root, "test", scene)
+    with open(os.path.join(scene_dir, "scene_gt.json")) as f:
+        scene_gt = json.load(f)
+    with open(os.path.join(scene_dir, "scene_gt_info.json")) as f:
+        scene_info = json.load(f)
+    out_dir = out_dir or os.path.join(root, "test-preprocessed")
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    for im_id, gt_list in scene_gt.items():
+        rgb = os.path.join(scene_dir, "rgb", f"{int(im_id):06d}.png")
+        if not os.path.exists(rgb):
+            continue
+        for gt_idx, gt in enumerate(gt_list):
+            name = LM_OB_ID_TO_NAMES[int(gt["obj_id"])]
+            obj_dir = os.path.join(out_dir, name)
+            os.makedirs(obj_dir, exist_ok=True)
+            base = os.path.join(obj_dir, f"{int(im_id):06d}")
+            pose = np.eye(4)
+            pose[:3, :3] = np.asarray(gt["cam_R_m2c"], np.float64).reshape(3, 3)
+            pose[:3, 3] = np.asarray(gt["cam_t_m2c"], np.float64) / 1000.0
+            np.savetxt(base + "-pose.txt", pose[:3])
+            box = scene_info[im_id][gt_idx]["bbox_obj"]  # [x, y, w, h]
+            with open(base + "-box.txt", "w") as f:
+                f.write(f"{box[0]}\n{box[1]}\n{box[2]}\n{box[3]}\n")
+            dst = base + "-color.png"
+            if not os.path.lexists(dst):
+                if link:
+                    os.symlink(os.path.abspath(rgb), dst)
+                else:
+                    shutil.copy(rgb, dst)
+    return out_dir
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description="Convert BOP dataset layout")
     parser.add_argument("--bop-root", required=True)
@@ -120,7 +173,20 @@ def main(argv=None) -> int:
                         help="output split name (default: same as --split)")
     parser.add_argument("--objects", type=int, nargs="*", default=None)
     parser.add_argument("--copy", action="store_true")
+    parser.add_argument("--lmo", action="store_true",
+                        help="LINEMOD-Occlusion mode (linemod_o_process.py "
+                             "semantics: obj-name dirs, bbox_obj boxes)")
+    parser.add_argument("--scene", default="000002", help="scene id for --lmo")
     args = parser.parse_args(argv)
+
+    if args.lmo:
+        out = convert_lmo(
+            args.bop_root, scene=args.scene,
+            out_dir=os.path.join(args.output, "test-preprocessed"),
+            link=not args.copy,
+        )
+        INFO(f"LMO preprocessed -> {out}")
+        return 0
 
     split_dir = os.path.join(args.bop_root, args.split)
     out_split = os.path.join(args.output, args.out_split or args.split)

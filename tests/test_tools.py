@@ -142,3 +142,229 @@ def test_foundationpose_ref_converter(tmp_path):
         root=str(out), reference_suffix="_foundationpose", ref_mode="random_seq",
     )
     assert ds.cat_len["ref"]["002_master_chef_can"] == 3
+
+
+def _look_at(theta, radius=1.0, z=0.4):
+    """World->cam pose of a camera on a circle looking at the origin."""
+    c = np.array([radius * np.cos(theta), radius * np.sin(theta), z])
+    fwd = -c / np.linalg.norm(c)
+    up = np.array([0.0, 0.0, 1.0])
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    true_up = np.cross(right, fwd)
+    R_c2w = np.stack([right, true_up, fwd], axis=1)
+    pose = np.eye(4)
+    pose[:3, :3] = R_c2w.T
+    pose[:3, 3] = -R_c2w.T @ c
+    return pose
+
+
+def _write_seq(seq_dir, thetas):
+    os.makedirs(seq_dir, exist_ok=True)
+    for i, th in enumerate(thetas):
+        stem = os.path.join(seq_dir, f"{i:06d}")
+        pose = _look_at(th)
+        np.savetxt(stem + "-pose.txt", pose)
+        np.savetxt(stem + "-box.txt", [10, 10, 50, 50])
+        np.savetxt(stem + "-intrinsics.txt", np.eye(3) * 100)
+        from PIL import Image
+
+        Image.new("RGB", (32, 32)).save(stem + "-color.png")
+
+
+def test_ycbv_best_sequence_selection(tmp_path):
+    """Best-sequence pick: wide angular coverage beats a clustered sequence
+    (reference view_sampler.py:382-421)."""
+    from boxdreamer_tpu.tools.view_sampler import (
+        build_ycbv_reference_db,
+        select_best_sequence,
+    )
+
+    root = str(tmp_path)
+    obj = os.path.join(root, "ref_views_16_processed", "obj01")
+    _write_seq(os.path.join(obj, "0000"), np.linspace(0, 0.15, 6))  # clustered
+    _write_seq(os.path.join(obj, "0001"), np.linspace(0, 2 * np.pi, 6, endpoint=False))
+
+    best, ranked = select_best_sequence(obj)
+    assert best == "0001"
+    assert ranked[0][1] > ranked[1][1] > 0
+
+    out = build_ycbv_reference_db(root, num=3, method="fps", link=False)
+    seq_dir = os.path.join(out, "obj01", "0001")
+    assert os.path.isdir(seq_dir)
+    colors = [f for f in os.listdir(seq_dir) if f.endswith("-color.png")]
+    assert len(colors) == 3
+    assert os.path.exists(os.path.join(out, "obj_seq_mapping.txt"))
+    assert "obj01 0001" in open(os.path.join(out, "obj_seq_mapping.txt")).read()
+    # every copied frame has its sidecar files
+    for c in colors:
+        stem = c[: -len("-color.png")]
+        for suf in ("-pose.txt", "-box.txt", "-intrinsics.txt"):
+            assert os.path.exists(os.path.join(seq_dir, stem + suf))
+
+
+def test_ycbv_first_mode(tmp_path):
+    from boxdreamer_tpu.tools.view_sampler import build_ycbv_reference_db
+
+    root = str(tmp_path)
+    obj = os.path.join(root, "ref_views_16_processed", "obj01")
+    _write_seq(os.path.join(obj, "0000"), np.linspace(0, 0.1, 4))
+    _write_seq(os.path.join(obj, "0001"), np.linspace(0, 2 * np.pi, 4, endpoint=False))
+    out = build_ycbv_reference_db(root, num=2, method="uniform", mode="first", link=False)
+    assert os.path.isdir(os.path.join(out, "obj01", "0000"))
+
+
+def test_onepose_reference_db(tmp_path):
+    """OnePose builder: seq -1 subsampled into the 4 data dirs, other seqs
+    symlinked whole, box3d_corners.txt copied (view_sampler.py:220-315)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "data"))
+    from test_adapters import make_onepose  # reuse the adapter fixture
+
+    from boxdreamer_tpu.tools.view_sampler import build_onepose_reference_db
+
+    root = make_onepose(str(tmp_path), n=6)
+    # the fixture lacks reproj_box; builder must tolerate missing files
+    out = build_onepose_reference_db(root, num=3, method="fps", link=False)
+    obj_dir = os.path.join(out, "0408-box")
+    assert os.path.exists(os.path.join(obj_dir, "box3d_corners.txt"))
+    # seq 1 subsampled
+    seq1 = os.path.join(obj_dir, "box-1")
+    assert len(os.listdir(os.path.join(seq1, "color"))) == 3
+    assert len(os.listdir(os.path.join(seq1, "poses_ba"))) == 3
+    # seq 2 symlinked whole
+    seq2 = os.path.join(obj_dir, "box-2")
+    assert os.path.islink(seq2)
+    assert len(os.listdir(os.path.join(seq2, "color"))) == 6
+
+
+def test_fps_mean_start_matches_reference_semantics():
+    """query_idx=-1 FPS: first pick is the camera farthest from the mean
+    center (reference _fps_sample, view_sampler.py:62-75)."""
+    from boxdreamer_tpu.data.sampling import farthest_point_sample_cameras
+
+    centers = np.array(
+        [[0, 0, 0], [0.1, 0, 0], [0.2, 0, 0], [5, 0, 0], [0, 0.1, 0]], dtype=float
+    )
+    idxs = farthest_point_sample_cameras(centers, 3, start_idx=-1)
+    assert idxs[0] == 3  # farthest from the mean
+    assert len(set(idxs.tolist())) == 3
+
+
+def test_lmo_preprocess(tmp_path):
+    """linemod_o_process semantics: per-object-name dirs, bbox_obj boxes,
+    mm->m poses (reference linemod_o_process.py:1-91)."""
+    import json
+
+    from PIL import Image
+
+    from boxdreamer_tpu.tools.bop_convert import convert_lmo
+
+    scene = os.path.join(str(tmp_path), "test", "000002")
+    os.makedirs(os.path.join(scene, "rgb"))
+    R = np.eye(3).flatten().tolist()
+    scene_gt = {
+        "3": [
+            {"obj_id": 1, "cam_R_m2c": R, "cam_t_m2c": [100.0, 0.0, 500.0]},
+            {"obj_id": 6, "cam_R_m2c": R, "cam_t_m2c": [0.0, 50.0, 700.0]},
+        ]
+    }
+    scene_info = {
+        "3": [{"bbox_obj": [10, 20, 30, 40]}, {"bbox_obj": [5, 6, 7, 8]}]
+    }
+    json.dump(scene_gt, open(os.path.join(scene, "scene_gt.json"), "w"))
+    json.dump(scene_info, open(os.path.join(scene, "scene_gt_info.json"), "w"))
+    Image.new("RGB", (64, 48)).save(os.path.join(scene, "rgb", "000003.png"))
+
+    out = convert_lmo(str(tmp_path), link=False)
+    assert sorted(os.listdir(out)) == ["ape", "cat"]
+    pose = np.loadtxt(os.path.join(out, "ape", "000003-pose.txt"))
+    np.testing.assert_allclose(pose[:, 3], [0.1, 0.0, 0.5])  # mm -> m
+    box = np.loadtxt(os.path.join(out, "cat", "000003-box.txt"))
+    np.testing.assert_allclose(box, [5, 6, 7, 8])
+    assert os.path.exists(os.path.join(out, "ape", "000003-color.png"))
+
+
+def test_objaverse_pose_sampling():
+    """Spherical-shell sampling + look-at pose math (reference
+    rendering.py:49-137 without bpy)."""
+    from boxdreamer_tpu.tools import objaverse_render as orender
+
+    rng = np.random.default_rng(0)
+    for _ in range(20):
+        p = orender.sample_spherical_shell(rng, 1.5, 2.2, maxz=1.0, minz=-0.5)
+        r = np.linalg.norm(p)
+        assert 1.5 <= r <= 2.2 and -0.5 < p[2] < 1.0
+    poses = orender.sample_camera_poses(8, seed=1)
+    for pose in poses:
+        R = pose[:3, :3]
+        np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-10)
+        assert np.linalg.det(R) > 0.99
+        # the origin projects onto the optical axis at positive depth
+        origin_cam = (pose @ np.array([0, 0, 0, 1.0]))[:3]
+        assert origin_cam[2] > 0
+        np.testing.assert_allclose(origin_cam[:2], 0, atol=1e-10)
+
+
+def test_objaverse_intrinsics_formula():
+    from boxdreamer_tpu.tools.objaverse_render import camera_intrinsics
+
+    K = camera_intrinsics(512, 512, focal_length_mm=35.0, sensor_width_mm=32.0)
+    np.testing.assert_allclose(K[0, 0], 35.0 * 512 / 32.0)  # 560
+    np.testing.assert_allclose(K[:2, 2], [256, 256])
+
+
+def test_objaverse_render_layout(tmp_path):
+    """Full output layout with an injected fake renderer; bpy path is a clean
+    gated error."""
+    from PIL import Image
+
+    from boxdreamer_tpu.tools.objaverse_render import render_object
+
+    calls = {}
+
+    def fake_renderer(object_file, rgb_paths, poses, K, size):
+        calls["n"] = len(rgb_paths)
+        for p in rgb_paths:
+            Image.new("RGB", size).save(p)
+
+    out = str(tmp_path / "render")
+    render_object("model.glb", 5, out, renderer=fake_renderer, seed=3)
+    assert calls["n"] == 5
+    assert len(os.listdir(os.path.join(out, "rgb"))) == 5
+    assert len(os.listdir(os.path.join(out, "camera_pose"))) == 5
+    pose = np.load(os.path.join(out, "camera_pose", "000.npy"))
+    assert pose.shape == (3, 4)
+    K = np.load(os.path.join(out, "intrinsics", "000.npy"))
+    assert K.shape == (3, 3)
+    import json
+
+    meta = json.load(open(os.path.join(out, "metadata.json")))
+    assert meta["num_renders"] == 5
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="bpy"):
+        render_object("model.glb", 1, str(tmp_path / "r2"))
+
+
+def test_objaverse_manifest_and_download(tmp_path):
+    from boxdreamer_tpu.tools.objaverse_render import download_objects, load_manifest
+
+    m1 = tmp_path / "m.json"
+    m1.write_text('["uid1", "uid2"]')
+    assert load_manifest(str(m1)) == ["uid1", "uid2"]
+    m2 = tmp_path / "m.txt"
+    m2.write_text("uidA\nuidB\n")
+    assert load_manifest(str(m2)) == ["uidA", "uidB"]
+
+    got = download_objects(
+        ["u1"], str(tmp_path / "dl"), fetcher=lambda u: {x: f"/fake/{x}.glb" for x in u}
+    )
+    assert got == {"u1": "/fake/u1.glb"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="objaverse"):
+        download_objects(["u1"], str(tmp_path / "dl2"))
