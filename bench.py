@@ -115,7 +115,7 @@ def main():
     predictor.set_references(ref_images, ref_bbox_feat, bbox_3d)
     refs = predictor._refs
 
-    def chain(params, ref_tokens, ref_bf, box3d, kmat, queries):
+    def chain(params, ref_tokens, ref_bf, box3d, kmat, ref_fuse, queries):
         """K serialized full query programs in ONE dispatch.
 
         carry: f32 scalar derived from the previous pose, folded into the
@@ -126,7 +126,8 @@ def main():
         def step(carry, q):
             q = q + carry * 1e-20
             out = predict_query(
-                model, params, q, ref_tokens, ref_bf, box3d, kmat
+                model, params, q, ref_tokens, ref_bf, box3d, kmat,
+                ref_fuse=ref_fuse,
             )
             poses = out["pred_poses"]
             checksum = jnp.sum(poses.astype(jnp.float32))
@@ -146,7 +147,14 @@ def main():
     q1 = make_queries(K_STEPS, 100)
     q2 = make_queries(2 * K_STEPS, 200)
 
-    common = (params, refs["tokens"], refs["bbox_feat"], refs["bbox_3d"], K_intr)
+    common = (
+        params,
+        refs["tokens"],
+        refs["bbox_feat"],
+        refs["bbox_3d"],
+        K_intr,
+        refs["fuse"],
+    )
 
     # Compile both chain lengths up front (scan body compiles once each).
     lowered = jitted.lower(*common, q1)
@@ -219,9 +227,9 @@ def main():
     # FLOPs come from a SINGLE-step compile (XLA's cost model counts a
     # lax.scan body once, not x K, so the chained program under-reports).
     single = jax.jit(
-        lambda p, rt, rb, b3, km, q: predict_query(model, p, q, rt, rb, b3, km)[
-            "pred_poses"
-        ]
+        lambda p, rt, rb, b3, km, rf, q: predict_query(
+            model, p, q, rt, rb, b3, km, ref_fuse=rf
+        )["pred_poses"]
     )
     step_flops = _compiled_flops(single.lower(*common, q1[0]).compile())
     if step_flops > 0:

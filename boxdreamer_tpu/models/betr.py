@@ -74,6 +74,8 @@ class BETR(nn.Module):
         masks: jax.Array,
         pretrain_rgb_feat: Optional[jax.Array] = None,
         deterministic: bool = True,
+        embed_only: bool = False,
+        precomputed_fuse: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Args:
             pose_feat: (B, T, box_dim, H, W) bbox feature maps (query frame
@@ -83,6 +85,13 @@ class BETR(nn.Module):
             masks: (B, T) bool, True at the query frame (camera_mask).
             pretrain_rgb_feat: (B, T, P, d_model) encoder patch tokens
                 (required when use_pretrained).
+            embed_only: return the fused per-frame tokens (B, T, P, d) —
+                incl. positional embedding — instead of running the
+                attention stack. Reference frames' fused tokens are constant
+                per object, so serving caches them (Predictor).
+            precomputed_fuse: (B, T, P, d) fused tokens to feed the stack
+                directly (the counterpart of embed_only; pose_feat/rgbs/
+                pretrain_rgb_feat are ignored).
 
         Returns:
             (B, box_dim, H, W) query prediction; for the heatmap
@@ -98,6 +107,11 @@ class BETR(nn.Module):
         if cfg.pose_representation == "plucker":
             return self._plucker_forward(
                 pose_feat, masks, pretrain_rgb_feat, deterministic
+            )
+
+        if precomputed_fuse is not None:
+            return self._attend_and_project(
+                precomputed_fuse.astype(dtype), masks, deterministic
             )
 
         # --- bbox feature tokens -------------------------------------------------
@@ -164,6 +178,20 @@ class BETR(nn.Module):
         # --- positional embedding ------------------------------------------------
         pos = layers.get_2d_sincos_pos_embed(cfg.d_model, cfg.grid, cfg.grid)
         fuse = fuse + jnp.asarray(pos, dtype=dtype)[None, None]
+        if embed_only:
+            return fuse
+
+        return self._attend_and_project(fuse, masks, deterministic)
+
+    def _attend_and_project(
+        self, fuse: jax.Array, masks: jax.Array, deterministic: bool
+    ) -> jax.Array:
+        """Attention stack + query selection + output head over fused
+        per-frame tokens (B, T, P, d)."""
+        cfg = self.config
+        dtype = jnp.dtype(cfg.dtype)
+        p2 = cfg.patch_size**2
+        B, T, P, _ = fuse.shape
 
         # --- joint attention over all frames' tokens -----------------------------
         x = fuse.reshape(B, T * P, cfg.d_model)

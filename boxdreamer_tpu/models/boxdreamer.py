@@ -40,10 +40,19 @@ class BoxDreamerConfig:
     bbox_representation: str = "heatmap"
     decode_topk: int = 20
     pnp_iters: int = 20
+    # Optional host-side modules (reference BoxDreamerModel.py:44-93):
+    # use_tracking raises NotImplementedError in the reference's own forward
+    # (:75) — same here; use_matching builds the gated LoFTR wrapper
+    # (models/trackers.py) at the runtime layer, never inside the XLA program.
+    use_tracking: bool = False
+    use_matching: bool = False
     betr: BETRConfig = BETRConfig()
     dino: DinoViTConfig = DinoViTConfig()
 
     def __post_init__(self):
+        if self.use_tracking:
+            # Parity with the reference's dead path (BoxDreamerModel.py:75).
+            raise NotImplementedError("Tracking is not supported yet")
         object.__setattr__(
             self,
             "betr",

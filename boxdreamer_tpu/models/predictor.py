@@ -53,6 +53,44 @@ def decoder_apply(
     )
 
 
+def decoder_embed(
+    model: BoxDreamer,
+    params: Any,
+    bbox_feat: jax.Array,
+    camera_mask: jax.Array,
+    rgb_tokens: jax.Array,
+) -> jax.Array:
+    """Fused per-frame BETR tokens only (B, T, P, d) — the cacheable part of
+    the decoder input (bbox patchify+embed, adapter MLP+LN, learnable query,
+    positional embedding)."""
+    dec = BETR(model.config.betr)
+    return dec.apply(
+        {"params": params["params"]["decoder"]},
+        bbox_feat,
+        None,
+        camera_mask,
+        pretrain_rgb_feat=rgb_tokens,
+        embed_only=True,
+    )
+
+
+def decoder_attend(
+    model: BoxDreamer,
+    params: Any,
+    fuse: jax.Array,
+    camera_mask: jax.Array,
+) -> jax.Array:
+    """Attention stack + head over precomputed fused tokens."""
+    dec = BETR(model.config.betr)
+    return dec.apply(
+        {"params": params["params"]["decoder"]},
+        None,
+        None,
+        camera_mask,
+        precomputed_fuse=fuse,
+    )
+
+
 def predict_query(
     model: BoxDreamer,
     params: Any,
@@ -61,6 +99,7 @@ def predict_query(
     ref_bbox_feat: jax.Array,
     bbox_3d: jax.Array,
     K: jax.Array,
+    ref_fuse: Optional[jax.Array] = None,
 ) -> Dict[str, jax.Array]:
     """Single-query inference against cached references. Jittable.
 
@@ -70,6 +109,10 @@ def predict_query(
         ref_bbox_feat: (B, N_ref, c, H, W) reference bbox features.
         bbox_3d: (B, 8, 3) object box corners.
         K: (B, 3, 3) query crop intrinsics (non-NDC).
+        ref_fuse: (B, N_ref, P, d) cached FUSED decoder tokens for the
+            references (from decoder_embed). When given, the per-query
+            program skips all reference-side embedding (~37 GF/frame at
+            flagship shapes) and only embeds the query frame.
 
     Returns:
         dict with pred_bbox, pred_kpts_2d, pred_poses for the query.
@@ -80,16 +123,30 @@ def predict_query(
 
     q_tokens = encoder_apply(model, params, query_image)  # (B, P, C)
     q_tokens = jax.lax.stop_gradient(q_tokens)
-    tokens = jnp.concatenate([ref_tokens, q_tokens[:, None]], axis=1)
-
-    # Query bbox features are ignored (replaced by the learnable query).
-    c = ref_bbox_feat.shape[2]
-    bbox_feat = jnp.concatenate(
-        [ref_bbox_feat, jnp.zeros_like(ref_bbox_feat[:, :1])], axis=1
-    )
     camera_mask = jnp.zeros((B, T), dtype=bool).at[:, -1].set(True)
+    c = ref_bbox_feat.shape[2]
 
-    heatmaps = decoder_apply(model, params, bbox_feat, camera_mask, tokens)
+    if ref_fuse is not None:
+        # Embed ONLY the query frame (its bbox features are replaced by the
+        # learnable query anyway), then splice into the cached ref tokens.
+        S = ref_bbox_feat.shape[-1]
+        q_mask = jnp.ones((B, 1), dtype=bool)
+        q_fuse = decoder_embed(
+            model,
+            params,
+            jnp.zeros((B, 1, c, S, S), ref_bbox_feat.dtype),
+            q_mask,
+            q_tokens[:, None],
+        )
+        fuse = jnp.concatenate([ref_fuse.astype(q_fuse.dtype), q_fuse], axis=1)
+        heatmaps = decoder_attend(model, params, fuse, camera_mask)
+    else:
+        tokens = jnp.concatenate([ref_tokens, q_tokens[:, None]], axis=1)
+        # Query bbox features are ignored (replaced by the learnable query).
+        bbox_feat = jnp.concatenate(
+            [ref_bbox_feat, jnp.zeros_like(ref_bbox_feat[:, :1])], axis=1
+        )
+        heatmaps = decoder_apply(model, params, bbox_feat, camera_mask, tokens)
     norm_kpts, kpts = decode_ops.decode_bbox_features(
         heatmaps, cfg.bbox_representation, k=cfg.decode_topk
     )
@@ -117,6 +174,9 @@ class Predictor:
         self._encode = jax.jit(
             functools.partial(encoder_apply, model)
         )
+        self._embed = jax.jit(
+            functools.partial(decoder_embed, model)
+        )
         self._predict = jax.jit(
             functools.partial(predict_query, model)
         )
@@ -128,14 +188,20 @@ class Predictor:
         ref_bbox_feat: jax.Array,
         bbox_3d: jax.Array,
     ) -> None:
-        """Encode and cache reference frames. Shapes: (B, N, 3, H, W),
-        (B, N, c, H, W), (B, 8, 3)."""
+        """Encode and cache reference frames — both the encoder tokens AND
+        the fused decoder tokens (constant per object). Shapes:
+        (B, N, 3, H, W), (B, N, c, H, W), (B, 8, 3)."""
         B, N = ref_images.shape[:2]
         flat = ref_images.reshape((B * N,) + ref_images.shape[2:])
         tokens = self._encode(self.params, flat)
         tokens = tokens.reshape(B, N, tokens.shape[1], tokens.shape[2])
+        ref_mask = jnp.zeros((B, N), dtype=bool)
+        ref_fuse = self._embed(
+            self.params, jnp.asarray(ref_bbox_feat), ref_mask, tokens
+        )
         self._refs = {
             "tokens": jax.block_until_ready(tokens),
+            "fuse": jax.block_until_ready(ref_fuse),
             "bbox_feat": jnp.asarray(ref_bbox_feat),
             "bbox_3d": jnp.asarray(bbox_3d),
         }
@@ -149,4 +215,5 @@ class Predictor:
             self._refs["bbox_feat"],
             self._refs["bbox_3d"],
             K,
+            self._refs["fuse"],
         )

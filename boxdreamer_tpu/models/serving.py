@@ -31,6 +31,7 @@ from boxdreamer_tpu.utils.profiling import FPSMeter
 @dataclasses.dataclass
 class ObjectEntry:
     tokens: jax.Array  # (1, N, P, C) cached encoder tokens
+    fuse: jax.Array  # (1, N, P, d) cached fused decoder tokens
     bbox_feat: jax.Array  # (1, N, c, H, W)
     bbox_3d: jax.Array  # (1, 8, 3)
 
@@ -104,6 +105,7 @@ class PoseService:
         with self._lock:
             self._objects[obj_id] = ObjectEntry(
                 tokens=self._predictor._refs["tokens"],
+                fuse=self._predictor._refs["fuse"],
                 bbox_feat=self._predictor._refs["bbox_feat"],
                 bbox_3d=self._predictor._refs["bbox_3d"],
             )
@@ -129,6 +131,7 @@ class PoseService:
             entry = self._objects[obj_id]
         self._predictor._refs = {
             "tokens": entry.tokens,
+            "fuse": entry.fuse,
             "bbox_feat": entry.bbox_feat,
             "bbox_3d": entry.bbox_3d,
         }
@@ -153,6 +156,7 @@ class PoseService:
             "tokens": jnp.broadcast_to(
                 entry.tokens, (B,) + entry.tokens.shape[1:]
             ),
+            "fuse": jnp.broadcast_to(entry.fuse, (B,) + entry.fuse.shape[1:]),
             "bbox_feat": jnp.broadcast_to(
                 entry.bbox_feat, (B,) + entry.bbox_feat.shape[1:]
             ),
