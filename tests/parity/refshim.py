@@ -559,6 +559,29 @@ def _install_misc():
         o3d.geometry = types.SimpleNamespace()
         sys.modules["open3d"] = o3d
 
+    if "plyfile" not in sys.modules:
+        plyfile = types.ModuleType("plyfile")
+
+        class _PlyData:
+            @staticmethod
+            def read(path):
+                raise RuntimeError("plyfile stub: not available in tests")
+
+        plyfile.PlyData = _PlyData
+        sys.modules["plyfile"] = plyfile
+
+    if "trimesh" not in sys.modules:
+        trimesh = types.ModuleType("trimesh")
+
+        def _fail_tm(*a, **k):
+            raise RuntimeError("trimesh stub: not available in tests")
+
+        trimesh.load = _fail_tm
+        trimesh.Scene = type("Scene", (), {})
+        trimesh.Trimesh = type("Trimesh", (), {})
+        trimesh.util = types.SimpleNamespace(concatenate=_fail_tm)
+        sys.modules["trimesh"] = trimesh
+
     if "omegaconf" not in sys.modules:
         oc = types.ModuleType("omegaconf")
 
