@@ -74,13 +74,20 @@ def load_video(path: str, state: Dict, which: str = "mode1") -> Dict:
         return state
     if os.path.isdir(path):
         side["frames"] = load_frames(path)
-    elif os.path.splitext(path)[1].lower() in (".mp4", ".avi", ".mov", ".webm"):
+    elif os.path.splitext(path)[1].lower() == ".avi":
+        # MJPEG-AVI decodes natively (utils/video.py) — no ffmpeg needed.
+        from boxdreamer_tpu.utils.video import video_to_frames
+
+        tmp = tempfile.mkdtemp(prefix="gradio_video_")
+        video_to_frames(path, tmp)
+        side["frames"] = load_frames(tmp)
+    elif os.path.splitext(path)[1].lower() in (".mp4", ".mov", ".webm"):
         try:
             import imageio.v3 as iio  # noqa: PLC0415
         except ImportError:
             side["status"] = (
-                "video decode needs imageio/ffmpeg (absent); "
-                "pass a directory of frames instead"
+                "mp4/mov/webm decode needs imageio/ffmpeg (absent); "
+                "pass an MJPEG .avi or a directory of frames instead"
             )
             return state
         tmp = tempfile.mkdtemp(prefix="gradio_video_")

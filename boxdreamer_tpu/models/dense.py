@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from boxdreamer_tpu.models.boxdreamer import BoxDreamer
 from boxdreamer_tpu.models.predictor import decoder_apply, encoder_apply
+from boxdreamer_tpu.ops import attention as attention_ops
 from boxdreamer_tpu.ops import decode as decode_ops
 from boxdreamer_tpu.ops import pnp as pnp_ops
 
@@ -42,6 +43,13 @@ class DenseConfig:
     dense_mem_friendly: bool = False  # lax.map over sub-batches (less VMEM)
     ransac_threshold: float = 2.0
     ransac_hypotheses: int = 128
+    # Sequence parallelism for very large reference DBs (SURVEY.md §2.5):
+    # shard the (T*P)-token decoder sequence over a mesh axis and run ring
+    # attention (ops/attention.sequence_parallel_attention). Only engages for
+    # sequences >= sp_min_len tokens that divide by the axis size; eval-only.
+    sequence_parallel: bool = False
+    sp_axis: str = "data"
+    sp_min_len: int = 4096
 
 
 # ---------------------------------------------------------------------------
@@ -224,12 +232,19 @@ def dense_predict(
     params: Any,
     batch: Dict[str, jax.Array],
     dense_cfg: DenseConfig,
+    mesh=None,
 ) -> Dict[str, jax.Array]:
     """Dense-reference inference (reference process_dense_input +
     process_multi_round). Jittable for a fixed dense_cfg.
 
     Batch keys as in forward_with_pose, where T-1 frames are references and
     the query index is T-1 (references first). Returns pred_poses etc.
+
+    When ``dense_cfg.sequence_parallel`` and a ``mesh`` is given, the
+    single-shot decoder pass (the path whose token count grows with the
+    reference-DB size) runs with ring attention sharded over
+    ``mesh[dense_cfg.sp_axis]`` — peak per-device attention memory is
+    O(T*P / n_devices) and the score matrix never materializes.
     """
     cfg = model.config
     images = batch["images"]
@@ -269,7 +284,15 @@ def dense_predict(
         tokens_all = jnp.concatenate([ref_tokens, q_tokens[:, None]], axis=1)
         bf_all = jnp.concatenate([ref_bbox, jnp.zeros_like(ref_bbox[:, :1])], axis=1)
         camera_mask = jnp.zeros((B, N + 1), dtype=bool).at[:, -1].set(True)
-        heatmaps = decoder_apply(model, params, bf_all, camera_mask, tokens_all)
+        if dense_cfg.sequence_parallel and mesh is not None:
+            with attention_ops.sequence_parallel_scope(
+                mesh, axis=dense_cfg.sp_axis, min_len=dense_cfg.sp_min_len
+            ):
+                heatmaps = decoder_apply(
+                    model, params, bf_all, camera_mask, tokens_all
+                )
+        else:
+            heatmaps = decoder_apply(model, params, bf_all, camera_mask, tokens_all)
         _, kpts = decode_ops.decode_bbox_features(
             heatmaps, cfg.bbox_representation, k=cfg.decode_topk
         )

@@ -23,6 +23,7 @@ All take (B, H, N, D) and return (B, H, N, D), preserving input dtype.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -31,11 +32,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-# Block sweep on v5e at BETR shape (B=8, H=8, N=1536, D=96): (512, 1536) is
-# 1.6x faster than (256, 256) — bigger KV blocks amortize the q-block reload
-# and per-program overhead; VMEM stays small (k+v blocks ~0.8 MB bf16, the
-# (block_q, block_k) f32 score tile ~3 MB).
-DEFAULT_BLOCK_Q = 512
+# Block sweep on v5e at BETR shape (B=8, H=8, N=1536, D=96), slope-measured
+# via tools/kernel_tune.py: (1536, 1536) wins — one program per (batch, head)
+# takes the single-pass softmax specialization (no online-softmax carry) and
+# amortizes program overhead; the (block_q, block_k) f32 score tile (9.4 MB)
+# plus q/k/v/acc still fits VMEM. Larger-N inputs stream KV in 1536-row
+# blocks, bounding VMEM independent of sequence length.
+DEFAULT_BLOCK_Q = 1536
 DEFAULT_BLOCK_K = 1536
 NEG_INF = -1e30
 
@@ -66,19 +69,34 @@ def _round_up(x: int, m: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+LOG2_E = 1.4426950408889634  # log2(e)
+LN_2 = 0.6931471805599453  # ln(2)
+
+
 def _flash_fwd_kernel(
     q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, scale: float, n_valid: int, block_k: int, num_kb: int
+    *, n_valid: int, block_k: int, num_kb: int, masked: bool
 ):
     """Grid (BH, num_q_blocks, num_kv_blocks), KV minor-most. Scratch carries
-    the online-softmax state across KV steps; output written on the last."""
-    j = pl.program_id(2)
+    the online-softmax state across KV steps; output written on the last.
 
-    @pl.when(j == 0)
-    def _init():
-        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
-        l_scr[:] = jnp.zeros_like(l_scr)
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+    VPU-lean variant: the softmax scale (and log2(e)) is pre-folded into q by
+    the wrapper, so the score tile sees no per-element multiply; ``exp2``
+    replaces ``exp`` (saves the ln2 multiply inside the exp lowering); the
+    padding mask is compiled out when the sequence is block-aligned; and for
+    ``num_kb == 1`` the online-softmax carry (init/alpha/scratch round-trip)
+    is compiled out entirely — at the flagship N=1536 these together cut the
+    per-element VPU chain roughly in half (measured via tools/kernel_tune.py).
+    """
+    j = pl.program_id(2)
+    single = num_kb == 1
+
+    if not single:
+        @pl.when(j == 0)
+        def _init():
+            m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+            l_scr[:] = jnp.zeros_like(l_scr)
+            acc_scr[:] = jnp.zeros_like(acc_scr)
 
     # Native-dtype (bf16) MXU matmuls with f32 accumulation: upcasting the
     # inputs to f32 would push the dots onto the 4x-slower f32 MXU path.
@@ -87,17 +105,32 @@ def _flash_fwd_kernel(
     vb = v_ref[0]
     bq = q.shape[0]
 
+    # q already carries scale * log2(e): s is in the base-2 domain.
     s = jax.lax.dot_general(
         q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale  # (BQ, BK) f32
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
-    s = jnp.where(col < n_valid, s, NEG_INF)
+    )  # (BQ, BK) f32
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
+        s = jnp.where(col < n_valid, s, NEG_INF)
+
+    if single:
+        m_new = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp2(s - m_new)
+        l_new = jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = jax.lax.dot_general(
+            p.astype(vb.dtype), vb, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l = jnp.maximum(l_new, 1e-30)
+        o_ref[0] = (acc_new / l).astype(o_ref.dtype)
+        lse_ref[0] = (m_new * LN_2 + jnp.log(l)).astype(jnp.float32)
+        return
 
     m_prev = m_scr[:, :1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp2(s - m_new)
+    alpha = jnp.exp2(m_prev - m_new)
     l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
     acc_new = acc_scr[:] * alpha + jax.lax.dot_general(
         p.astype(vb.dtype), vb, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -111,7 +144,7 @@ def _flash_fwd_kernel(
     def _emit():
         l = jnp.maximum(l_scr[:, :1], 1e-30)
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[:, :1] + jnp.log(l)).astype(jnp.float32)
+        lse_ref[0] = (m_scr[:, :1] * LN_2 + jnp.log(l)).astype(jnp.float32)
 
 
 @functools.partial(
@@ -155,7 +188,9 @@ def flash_attention(
         x = x.reshape(B * H, n, D)
         return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, D_pad - D)))
 
-    qp = pad(q, Nq_pad)
+    # Fold scale and log2(e) into q once (O(N*D)) so the kernel's (N, N)
+    # score tile needs no per-element scaling and can use exp2 directly.
+    qp = pad(q, Nq_pad) * jnp.asarray(scale * LOG2_E, out_dtype)
     kp = pad(k, Nk_pad)
     vp = pad(v, Nk_pad)
     num_kb = Nk_pad // block_k
@@ -164,10 +199,10 @@ def flash_attention(
     out, lse = pl.pallas_call(
         functools.partial(
             _flash_fwd_kernel,
-            scale=scale,
             n_valid=Nk,
             block_k=block_k,
             num_kb=num_kb,
+            masked=Nk != Nk_pad,
         ),
         grid=grid,
         in_specs=[
@@ -442,11 +477,35 @@ def flash_attention_ad(q, k, v, scale, interpret=False):
     return _flash_attention_ad(q, k, v, scale, interpret)
 
 
-# Dispatch crossover, measured honestly on v5e (chained lax.scan, fetched
-# outputs): at N=1536/B=8/H=8/D=96 flash = 1.60 ms vs XLA einsum+softmax
-# 2.79 ms (the XLA path is HBM-bound on the f32 (N, N) materialization);
-# at DINOv2's N=261 XLA wins (0.96 vs 1.39 ms — grid overhead dominates).
+# Dispatch crossover, measured honestly on v5e (chained lax.scan slope,
+# tools/kernel_tune.py): at N=1536/B=8/H=8/D=96 the single-pass exp2 flash
+# kernel (whole-sequence q block, MXU ones-lane denominator) runs 0.49 ms vs
+# XLA einsum+softmax 1.75 ms (HBM-bound on the f32 (N, N) materialization);
+# at DINOv2's N=261 XLA wins (grid overhead dominates).
 FLASH_MIN_SEQ_LEN = 1024
+
+# Sequence-parallel context (set by models/dense.py for very large reference
+# DBs): when a mesh is installed here, multi_head_attention shards the token
+# axis over it with ring attention instead of running one-device flash.
+_SP_STATE: dict = {"mesh": None, "axis": "data", "min_len": 4096}
+
+
+@contextlib.contextmanager
+def sequence_parallel_scope(mesh, axis: str = "data", min_len: int = 4096):
+    """Route eligible attention calls inside the scope through
+    :func:`sequence_parallel_attention` over ``mesh[axis]``.
+
+    Eligible = self-attention (q is k is v not required — shapes equal),
+    token count >= ``min_len`` and divisible by the axis size. The decision
+    is made at trace time (static shapes), so this composes with jit.
+    Forward-only: the ring path has no custom VJP.
+    """
+    prev = dict(_SP_STATE)
+    _SP_STATE.update(mesh=mesh, axis=axis, min_len=min_len)
+    try:
+        yield
+    finally:
+        _SP_STATE.update(prev)
 
 
 def multi_head_attention(
@@ -454,7 +513,16 @@ def multi_head_attention(
 ) -> jax.Array:
     """Backend dispatch: on TPU, XLA fused attention for short sequences and
     the Pallas flash kernel (Pallas forward + Pallas backward) beyond
-    FLASH_MIN_SEQ_LEN; XLA reference elsewhere."""
+    FLASH_MIN_SEQ_LEN; XLA reference elsewhere. Inside a
+    :func:`sequence_parallel_scope`, long sequences ride the ring instead."""
+    mesh = _SP_STATE["mesh"]
+    if mesh is not None:
+        n_tok = q.shape[-2]
+        n_shards = mesh.shape[_SP_STATE["axis"]]
+        if n_tok >= _SP_STATE["min_len"] and n_tok % n_shards == 0:
+            return sequence_parallel_attention(
+                q, k, v, scale, mesh, axis=_SP_STATE["axis"]
+            )
     platform = jax.default_backend()
     if platform == "tpu" and q.shape[-2] > FLASH_MIN_SEQ_LEN:
         return _flash_attention_ad(q, k, v, scale, False)

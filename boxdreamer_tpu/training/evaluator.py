@@ -87,8 +87,13 @@ class Evaluator:
 
             from boxdreamer_tpu.models.dense import dense_predict
 
+            # Sequence-parallel dense eval shards the decoder token axis over
+            # this evaluator's mesh (ring attention) when the config asks.
+            sp_mesh = mesh if getattr(dense_cfg, "sequence_parallel", False) else None
             dense_fn = jax.jit(
-                functools.partial(dense_predict, model, dense_cfg=dense_cfg)
+                functools.partial(
+                    dense_predict, model, dense_cfg=dense_cfg, mesh=sp_mesh
+                )
             )
             self._eval_step = lambda params, batch: (dense_fn(params, batch), {})
         else:

@@ -65,6 +65,9 @@ def build_dense_config(cfg: ConfigNode):
         sub_batch_size=int(d.get("sub_batch_size", 5)),
         fine_level=bool(d.get("fine_level", False)),
         fine_topk=int(d.get("fine_topk", 5)),
+        sequence_parallel=bool(d.get("sequence_parallel", False)),
+        sp_axis=d.get("sp_axis", "data"),
+        sp_min_len=int(d.get("sp_min_len", 4096)),
     )
 
 

@@ -67,3 +67,57 @@ def test_ring_attention_bf16(mesh8):
         atol=2e-2,
     )
     assert out.dtype == jnp.bfloat16
+
+
+def test_sequence_parallel_scope_dispatch(mesh8):
+    """multi_head_attention reroutes through the ring inside the scope and
+    produces the same result as outside it."""
+    q, k, v = _qkv(jax.random.PRNGKey(3), N=4608)
+    scale = q.shape[-1] ** -0.5
+    plain = attention.multi_head_attention(q, k, v, scale)
+    with attention.sequence_parallel_scope(mesh8, axis="data", min_len=1024):
+        ringed = attention.multi_head_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(ringed), np.asarray(plain), atol=2e-5)
+    # Ineligible length (not divisible by 8) must silently fall back.
+    q2, k2, v2 = _qkv(jax.random.PRNGKey(4), N=4100)
+    with attention.sequence_parallel_scope(mesh8, axis="data", min_len=1024):
+        out2 = attention.multi_head_attention(q2, k2, v2, scale)
+    np.testing.assert_allclose(
+        np.asarray(out2),
+        np.asarray(attention.mha_reference(q2, k2, v2, scale)),
+        atol=2e-5,
+    )
+
+
+def test_dense_predict_sequence_parallel_matches(mesh8):
+    """models/dense.py wiring: dense_predict with sequence_parallel on the
+    8-device mesh matches the single-device result (CLAUDE.md round-3 #2)."""
+    from tests.models.test_dense import TINY, make_batch
+    from boxdreamer_tpu.models import BoxDreamer
+    from boxdreamer_tpu.models import dense as D
+
+    model = BoxDreamer(TINY)
+    # 7 refs + 1 query = 8 decoder frames x 4 tokens/frame = 32 tokens,
+    # divisible by the 8-way mesh.
+    batch = make_batch(jax.random.PRNGKey(7), T=8)
+    mask = jnp.zeros((1, 8), dtype=bool).at[:, -1].set(True)
+    params = model.init(
+        jax.random.PRNGKey(8), batch["images"], batch["bbox_feat"], mask
+    )
+    cfg_sp = D.DenseConfig(
+        enable=True, filter_enable=False, multi_round=False,
+        sequence_parallel=True, sp_axis="data", sp_min_len=8,
+    )
+    cfg_plain = D.DenseConfig(enable=True, filter_enable=False, multi_round=False)
+    out_sp = D.dense_predict(model, params, batch, cfg_sp, mesh=mesh8)
+    out_plain = D.dense_predict(model, params, batch, cfg_plain)
+    np.testing.assert_allclose(
+        np.asarray(out_sp["pred_bbox"]),
+        np.asarray(out_plain["pred_bbox"]),
+        atol=5e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_sp["pred_poses"]),
+        np.asarray(out_plain["pred_poses"]),
+        atol=1e-3,
+    )

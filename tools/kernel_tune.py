@@ -1,0 +1,111 @@
+"""Flash-attention kernel tuning harness (real-chip microbenchmark).
+
+Measures candidate kernel configurations at the flagship BETR shape
+(B=8, H=8, N=1536, D=96) with the same trust rules as bench.py:
+
+  * one dispatch runs a ``lax.scan`` chain of K kernel invocations with the
+    previous output folded into the next input (no per-step tunnel RTT, no
+    remote dedup);
+  * timing is checked for linearity in K (K and 4K), and the outputs are
+    fetched + checksummed;
+  * reports ms/call and implied FLOP utilisation.
+
+Usage: python tools/kernel_tune.py [--shape B H N D]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def chain_time(fn, args_init, k_steps: int) -> tuple[float, float]:
+    """Time a K-step on-device chain of fn; returns (ms_per_call, checksum)."""
+
+    @jax.jit
+    def chained(q, k, v):
+        def body(carry, _):
+            q, k, v = carry
+            out = fn(q, k, v)
+            # Fold the output into next q cheaply: keeps a data dependence so
+            # nothing can be elided, costs O(N*D) vs the O(N^2*D) kernel.
+            q2 = q + 1e-3 * out
+            return (q2, k, v), jnp.float32(0.0)
+
+        (q, _, _), _ = jax.lax.scan(body, (q, k, v), None, length=k_steps)
+        return jnp.sum(q.astype(jnp.float32))
+
+    q, k, v = args_init
+    chained(q, k, v).block_until_ready()  # compile
+    t0 = time.perf_counter()
+    s = chained(q, k, v)
+    s.block_until_ready()
+    dt = time.perf_counter() - t0
+    return dt * 1e3, float(s)
+
+
+def run(B: int, H: int, N: int, D: int) -> None:
+    from boxdreamer_tpu.ops import attention as A
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.bfloat16)
+    scale = D ** -0.5
+
+    ref = A.mha_reference(q, k, v, scale)
+
+    flops_per_call = 4 * B * H * N * N * D  # 2 matmuls, 2 FLOP/MAC (unpadded)
+
+    candidates = {
+        "xla": lambda q, k, v: A.mha_reference(q, k, v, scale),
+    }
+    for bq, bk in [(256, 1536), (512, 512), (512, 1536), (768, 1536), (1536, 1536)]:
+        if bq > N or bk > N:
+            continue
+        candidates[f"flash_bq{bq}_bk{bk}"] = functools.partial(
+            A.flash_attention, scale=scale, block_q=bq, block_k=bk
+        )
+
+    # jax's bundled TPU kernel as a ceiling probe (not shipped; probe only).
+    try:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as jax_flash,
+        )
+
+        candidates["jax_bundled"] = lambda q, k, v: jax_flash(
+            q, k, v, causal=False, sm_scale=scale
+        )
+    except Exception as e:  # pragma: no cover
+        print(f"jax bundled kernel unavailable: {e}")
+
+    print(f"shape B={B} H={H} N={N} D={D}, {flops_per_call/1e9:.1f} GFLOP/call")
+    for name, fn in candidates.items():
+        try:
+            out = fn(q, k, v)
+            err = float(
+                jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))
+            )
+            t8, c8 = chain_time(fn, (q, k, v), 8)
+            t40, c40 = chain_time(fn, (q, k, v), 40)
+            # Slope removes the fixed dispatch/RTT overhead shared by both.
+            ms = (t40 - t8) / 32.0
+            util = flops_per_call / (ms * 1e-3) / 1e12
+            print(
+                f"{name:24s} {ms:7.3f} ms/call  (t8={t8:6.1f} t40={t40:6.1f})  "
+                f"eff={util:6.1f} TF/s  maxerr={err:.2e}  sum={c40:.1f}"
+            )
+        except Exception as e:
+            print(f"{name:24s} FAILED: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--shape", nargs=4, type=int, default=[8, 8, 1536, 96])
+    a = p.parse_args()
+    run(*a.shape)
