@@ -63,10 +63,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("overrides", nargs="*", help="dotted key=value overrides")
     args = parser.parse_args(argv)
 
+    from boxdreamer_tpu.parallel import distributed
     from boxdreamer_tpu.training import checkpoint as ckpt_lib
     from boxdreamer_tpu.utils import builders
     from boxdreamer_tpu.utils.config import load_config
     from boxdreamer_tpu.utils.log import INFO
+
+    # Multi-host (TPU pod) wiring: no-op unless JAX_COORDINATOR_ADDRESS etc.
+    # are set (scripts/cluster/train_tpu.sh exports them per worker).
+    distributed.initialize()
 
     cfg = load_config(args.config_dir, args.config_name, args.overrides)
     model, trainer = build_everything(cfg)

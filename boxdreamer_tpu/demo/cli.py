@@ -25,6 +25,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--num-refs", type=int, default=5)
     parser.add_argument("--image-size", type=int, default=224)
     parser.add_argument("--stride", type=int, default=1)
+    parser.add_argument("--export-video", action="store_true",
+                        help="write tracked.avi overlay video (MJPEG)")
+    parser.add_argument("--video-fps", type=float, default=15.0)
     args = parser.parse_args(argv)
 
     import jax
@@ -58,6 +61,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     cfg = DemoConfig(
         image_size=S, num_refs=args.num_refs, segmenter=args.segmenter,
         frame_stride=args.stride,
+        export_video=args.export_video, video_fps=args.video_fps,
     )
     pipeline = DemoPipeline(model, params, cfg, segmenter=segmenter)
     pipeline.run(args.frames, args.output)

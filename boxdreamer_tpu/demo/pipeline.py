@@ -46,19 +46,34 @@ class DemoConfig:
     focal_scale: float = 1.2  # default-intrinsics heuristic: f = scale*max(W,H)
     reconstruction_backend: str = "carve"
     output_fps_window: int = 10
+    # Overlay video export (reference demo.py:1630-1650 mp4 export; here
+    # MJPEG-AVI so it works without ffmpeg).
+    export_video: bool = False
+    video_fps: float = 15.0
 
 
 def load_frames(path: str, stride: int = 1) -> List[str]:
-    """Frames from a directory (sorted); video files require ffmpeg."""
+    """Frames from a directory (sorted) or an MJPEG-AVI video (decoded to a
+    temp dir via utils/video.py — reference demo video->frames flow,
+    src/demo/preprocess_video.py). Other containers require ffmpeg."""
     if os.path.isdir(path):
         files = sorted(
             f for f in glob.glob(os.path.join(path, "*"))
             if f.lower().endswith(IMG_EXTS)
         )
         return files[::stride]
+    if path.lower().endswith(".avi"):
+        import tempfile
+
+        from boxdreamer_tpu.utils.video import video_to_frames
+
+        tmp = tempfile.mkdtemp(prefix="demo_video_")
+        video_to_frames(path, tmp, stride=stride)
+        return sorted(glob.glob(os.path.join(tmp, "*.png")))
     raise SystemExit(
-        f"{path} is not a frame directory; video decode requires an ffmpeg "
-        "binary which is not present — extract frames first"
+        f"{path} is not a frame directory or MJPEG .avi; other video "
+        "containers require an ffmpeg binary which is not present — "
+        "extract frames first"
     )
 
 
@@ -197,6 +212,7 @@ class DemoPipeline:
         # Per-frame tracking.
         fps_meter = FPSMeter(cfg.output_fps_window)
         results = []
+        overlays = []
         for idx, (frame, mask) in enumerate(zip(frames, masks)):
             crop, K_crop = self._crop(frame, mask, K_full)
             out = predictor.predict(
@@ -206,6 +222,7 @@ class DemoPipeline:
             fps = fps_meter.tick()
             overlay = vis.draw_projected_box(crop, K_crop, pose, bbox_3d)
             overlay.save(os.path.join(output_dir, f"overlay_{idx:04d}.png"))
+            overlays.append(np.asarray(overlay.convert("RGB")))
             results.append({"pose": pose, "fps": fps})
         valid_fps = [r["fps"] for r in results if r["fps"]]
         INFO(
@@ -214,4 +231,10 @@ class DemoPipeline:
         )
         np.save(os.path.join(output_dir, "poses.npy"),
                 np.stack([r["pose"] for r in results]))
+        if cfg.export_video and overlays:
+            from boxdreamer_tpu.utils.video import write_video
+
+            out_avi = os.path.join(output_dir, "tracked.avi")
+            write_video(out_avi, overlays, fps=cfg.video_fps)
+            INFO(f"wrote overlay video {out_avi}")
         return {"poses": [r["pose"] for r in results], "bbox_3d": bbox_3d}

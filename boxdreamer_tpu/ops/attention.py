@@ -255,32 +255,39 @@ def flash_attention(
 
 def _flash_bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
-    *, scale: float, n_valid_k: int, block_k: int, num_kb: int
+    *, scale: float, n_valid_k: int, block_k: int, num_kb: int, masked: bool
 ):
     """Grid (BH, num_q_blocks, num_kv_blocks): accumulate dq over KV steps.
 
-    dq_i = scale * sum_j ds_ij k_j, ds = p * (dO v^T - delta)."""
+    dq_i = scale * sum_j ds_ij k_j, ds = p * (dO v^T - delta).
+
+    Like the forward, q arrives pre-scaled by scale*log2(e) and lse pre-scaled
+    by log2(e), so the (BQ, BK) tile sees no per-element multiply and uses
+    exp2; the KV padding mask is compiled out when the sequence is
+    block-aligned.
+    """
     j = pl.program_id(2)
 
     @pl.when(j == 0)
     def _init():
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
-    q = q_ref[0]
+    q = q_ref[0]  # pre-scaled by scale*log2(e)
     kb = k_ref[0]
     vb = v_ref[0]
     do = do_ref[0]
-    lse = lse_ref[0]  # (BQ, 1)
+    lse = lse_ref[0]  # (BQ, 1), pre-scaled by log2(e)
     delta = delta_ref[0]
     bq = q.shape[0]
 
     s = jax.lax.dot_general(
         q, kb, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
-    s = jnp.where(col < n_valid_k, s, NEG_INF)
-    p = jnp.exp(s - lse)  # (BQ, BK); rows past n_valid_q are garbage, sliced off
+    )
+    if masked:
+        col = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1) + j * block_k
+        s = jnp.where(col < n_valid_k, s, NEG_INF)
+    p = jnp.exp2(s - lse)  # (BQ, BK); rows past n_valid_q are garbage, sliced off
     dp = jax.lax.dot_general(
         do, vb, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -299,11 +306,18 @@ def _flash_bwd_dq_kernel(
 def _flash_bwd_dkv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
     dk_scr, dv_scr,
-    *, scale: float, n_valid_q: int, block_q: int, num_qb: int
+    *, n_valid_q: int, block_q: int, num_qb: int, masked: bool
 ):
     """Grid (BH, num_kv_blocks, num_q_blocks): accumulate dk/dv over Q steps.
 
-    dv_j = sum_i p_ij^T dO_i;  dk_j = scale * sum_i ds_ij^T q_i."""
+    dv_j = sum_i p_ij^T dO_i;  dk_j = scale * sum_i ds_ij^T q_i.
+
+    q arrives pre-scaled by scale*log2(e) and lse by log2(e) (see
+    :func:`flash_attention_bwd`), so dst @ q_scaled = (scale*log2e) dst @ q —
+    the dk accumulation multiplies by ln(2) instead of scale to compensate,
+    and no raw q is needed in VMEM. The padded-query-rows mask is compiled
+    out when Nq is block-aligned.
+    """
     i = pl.program_id(2)
 
     @pl.when(i == 0)
@@ -311,23 +325,30 @@ def _flash_bwd_dkv_kernel(
         dk_scr[:] = jnp.zeros_like(dk_scr)
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
-    q = q_ref[0]  # (BQ, D)
+    q = q_ref[0]  # (BQ, D), pre-scaled
     kb = k_ref[0]  # (BK, D)
     vb = v_ref[0]
     do = do_ref[0]  # (BQ, D)
-    lse = lse_ref[0][:, 0][None, :]  # (1, BQ)
-    delta = delta_ref[0][:, 0][None, :]
+    # lse/delta arrive TRANSPOSED as (1, BQ) row vectors (wrapper lays them
+    # out (BH, 1, Nq)): broadcasting a row across sublanes is cheap on the
+    # VPU, whereas extracting column 0 of a (BQ, 1) block and transposing it
+    # in-kernel is a strided cross-sublane shuffle that dominated this
+    # kernel's runtime.
+    lse = lse_ref[0]  # (1, BQ), pre-scaled by log2(e)
+    delta = delta_ref[0]
     bk = kb.shape[0]
     bq = q.shape[0]
 
-    # s^T directly: (BK, BQ)
+    # s^T directly: (BK, BQ), already in the base-2 domain.
     st = jax.lax.dot_general(
         kb, q, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale
-    # Mask padded query rows so they contribute nothing to dk/dv.
-    qcol = jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 1) + i * block_q
-    pt = jnp.where(qcol < n_valid_q, jnp.exp(st - lse), 0.0)
+    )
+    pt = jnp.exp2(st - lse)
+    if masked:
+        # Mask padded query rows so they contribute nothing to dk/dv.
+        qcol = jax.lax.broadcasted_iota(jnp.int32, (bk, bq), 1) + i * block_q
+        pt = jnp.where(qcol < n_valid_q, pt, 0.0)
     dv_scr[:] += jax.lax.dot_general(
         pt.astype(do.dtype), do, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -337,7 +358,8 @@ def _flash_bwd_dkv_kernel(
         preferred_element_type=jnp.float32,
     )  # (BK, BQ)
     dst = (pt * (dpt - delta)).astype(q.dtype)
-    dk_scr[:] += scale * jax.lax.dot_general(
+    # scale * dst @ q_raw == ln(2) * dst @ q_scaled
+    dk_scr[:] += LN_2 * jax.lax.dot_general(
         dst, q, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -389,10 +411,21 @@ def flash_attention_bwd(
         x = x.reshape(B * H, x.shape[2], 1)
         return jnp.pad(x, ((0, 0), (0, n_pad - x.shape[1]), (0, 0)))
 
-    qp, kp, vp = pad3(q, Nq_pad), pad3(k, Nk_pad), pad3(v, Nk_pad)
+    def pad_row(x, n_pad):
+        # (B, H, N) -> (B*H, 1, N_pad): row-vector layout for the dkv kernel.
+        x = x.reshape(B * H, 1, x.shape[2])
+        return jnp.pad(x, ((0, 0), (0, 0), (0, n_pad - x.shape[2])))
+
+    # Same base-2 trick as the forward: q carries scale*log2(e), lse carries
+    # log2(e); the kernels' (BQ, BK) tiles then do a bare exp2(s - lse).
+    qp = pad3(q, Nq_pad) * jnp.asarray(scale * LOG2_E, q.dtype)
+    kp, vp = pad3(k, Nk_pad), pad3(v, Nk_pad)
     gp = pad3(g, Nq_pad)
-    lsep = pad2(lse, Nq_pad)
+    lse2 = lse * LOG2_E
+    lsep = pad2(lse2, Nq_pad)
     deltap = pad2(delta, Nq_pad)
+    lserow = pad_row(lse2, Nq_pad)
+    deltarow = pad_row(delta, Nq_pad)
 
     q_spec_i = pl.BlockSpec(
         (1, block_q, D_pad), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
@@ -408,6 +441,7 @@ def flash_attention_bwd(
         functools.partial(
             _flash_bwd_dq_kernel,
             scale=scale, n_valid_k=Nk, block_k=block_k, num_kb=num_kb,
+            masked=Nk != Nk_pad,
         ),
         grid=(B * H, num_qb, num_kb),
         in_specs=[q_spec_i, kv_spec_j, kv_spec_j, q_spec_i, row_spec_i, row_spec_i],
@@ -425,12 +459,13 @@ def flash_attention_bwd(
         (1, block_k, D_pad), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM
     )
     row_spec_i2 = pl.BlockSpec(
-        (1, block_q, 1), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
+        (1, 1, block_q), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM
     )
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_bwd_dkv_kernel,
-            scale=scale, n_valid_q=Nq, block_q=block_q, num_qb=num_qb,
+            n_valid_q=Nq, block_q=block_q, num_qb=num_qb,
+            masked=Nq != Nq_pad,
         ),
         grid=(B * H, num_kb, num_qb),
         in_specs=[
@@ -446,12 +481,51 @@ def flash_attention_bwd(
             pltpu.VMEM((block_k, D_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(qp, kp, vp, gp, lsep, deltap)
+    )(qp, kp, vp, gp, lserow, deltarow)
 
     dq = dq[:, :Nq, :D].reshape(B, H, Nq, D)
     dk = dk[:, :Nk, :D].reshape(B, H, Nk, D)
     dv = dv[:, :Nk, :D].reshape(B, H, Nk, D)
     return dq, dk, dv
+
+
+def flash_attention_bwd_xla(q, k, v, out, lse, g, scale: float):
+    """XLA backward from the saved logsumexp: materializes the (N, N) score
+    matrix twice but fuses everything else. Slope-measured on v5e at the
+    flagship N=1536 this beats the Pallas backward (XLA's fused recompute is
+    HBM-bound but short sequences fit comfortably), while at dense-mode
+    lengths the O(N^2) HBM traffic collapses — hence the length dispatch in
+    :func:`_flash_ad_bwd`.
+    """
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse[..., None])  # (B, H, Nq, Nk) f32
+    dv = jnp.einsum(
+        "bhqk,bhqd->bhkd", p.astype(g.dtype), g,
+        preferred_element_type=jnp.float32,
+    ).astype(v.dtype)
+    dp = jnp.einsum(
+        "bhqd,bhkd->bhqk", g, v, preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1, keepdims=True
+    )
+    ds = (p * (dp - delta)).astype(q.dtype)
+    dq = (scale * jnp.einsum(
+        "bhqk,bhkd->bhqd", ds, k, preferred_element_type=jnp.float32
+    )).astype(q.dtype)
+    dk = (scale * jnp.einsum(
+        "bhqk,bhqd->bhkd", ds, q, preferred_element_type=jnp.float32
+    )).astype(k.dtype)
+    return dq, dk, dv
+
+
+# Backward crossover (v5e, slope-measured fwd+bwd at B=8/H=8/D=96): at
+# N=1536 flash-fwd + XLA-lse backward wins over the Pallas backward; the
+# Pallas backward exists for dense-mode lengths where the XLA (N, N)
+# materialization thrashes HBM (N=8192: XLA fwd alone is 225 ms).
+FLASH_BWD_PALLAS_MIN_SEQ_LEN = 2048
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
@@ -466,6 +540,8 @@ def _flash_ad_fwd(q, k, v, scale, interpret=False):
 
 def _flash_ad_bwd(scale, interpret, residuals, g):
     q, k, v, out, lse = residuals
+    if max(q.shape[2], k.shape[2]) < FLASH_BWD_PALLAS_MIN_SEQ_LEN:
+        return flash_attention_bwd_xla(q, k, v, out, lse, g, scale)
     return flash_attention_bwd(q, k, v, out, lse, g, scale, interpret=interpret)
 
 

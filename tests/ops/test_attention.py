@@ -85,6 +85,19 @@ def test_pallas_backward_matches_autodiff(B, H, N, D):
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), atol=2e-4)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(dv_ref), atol=2e-4)
 
+    # flash_attention_ad length-dispatches its backward (XLA-lse below
+    # FLASH_BWD_PALLAS_MIN_SEQ_LEN) — exercise the Pallas backward kernels
+    # DIRECTLY at these (non-block-aligned) shapes as well.
+    out, lse = attention.flash_attention(
+        q, k, v, scale, interpret=True, return_lse=True
+    )
+    dq_p, dk_p, dv_p = attention.flash_attention_bwd(
+        q, k, v, out, lse, g, scale, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(dq_p), np.asarray(dq_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dk_p), np.asarray(dk_ref), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(dv_p), np.asarray(dv_ref), atol=2e-4)
+
 
 def test_flash_lse_matches_reference():
     """return_lse: logsumexp must equal the reference computation (it is the

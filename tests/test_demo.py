@@ -84,7 +84,10 @@ def test_demo_pipeline_end_to_end(tmp_path):
         jnp.zeros((1, T, 8, S, S)),
         mask,
     )
-    cfg = DemoConfig(image_size=S, num_refs=3, segmenter="threshold")
+    cfg = DemoConfig(
+        image_size=S, num_refs=3, segmenter="threshold",
+        export_video=True, video_fps=10.0,
+    )
     pipeline = DemoPipeline(model, params, cfg)
     out_dir = str(tmp_path / "out")
     result = pipeline.run(frames, out_dir)
@@ -95,3 +98,20 @@ def test_demo_pipeline_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(out_dir, "references", "0000-pose.txt"))
     for pose in result["poses"]:
         assert np.isfinite(pose).all()
+    # Overlay video export (reference demo.py mp4 export -> MJPEG-AVI here).
+    from boxdreamer_tpu.utils.video import probe_video
+
+    total, fps, _ = probe_video(os.path.join(out_dir, "tracked.avi"))
+    assert total == 10 and abs(fps - 10.0) < 0.01
+
+
+def test_demo_load_frames_avi(tmp_path):
+    """The demo consumes MJPEG-AVI input directly (no ffmpeg)."""
+    from boxdreamer_tpu.demo.pipeline import load_frames
+    from boxdreamer_tpu.utils.video import write_video
+
+    avi = str(tmp_path / "in.avi")
+    write_video(avi, [np.full((32, 32, 3), 60 * i, np.uint8) for i in range(5)])
+    files = load_frames(avi, stride=2)
+    assert len(files) == 3
+    assert all(f.endswith(".png") for f in files)
