@@ -66,13 +66,17 @@ def build_schedule(cfg: OptimConfig) -> optax.Schedule:
     w = cfg.warmup_steps
 
     def schedule(step):
+        # Ramp shapes match the reference WarmupScheduler.get_lr exactly
+        # (optimizers.py:46-64): linear = alpha, exponential = alpha^3
+        # (cubic, NOT an exp curve despite the name), cosine =
+        # 1 - cos(alpha * pi/2) (quarter-wave, 0 -> 1).
         frac = jnp.clip(step / w, 0.0, 1.0)
         if cfg.warmup_type == "linear":
             ramp = frac
         elif cfg.warmup_type == "exponential":
-            ramp = jnp.expm1(frac * jnp.log(2.0))  # 0 -> 1
+            ramp = frac**3
         elif cfg.warmup_type == "cosine":
-            ramp = 0.5 * (1.0 - jnp.cos(jnp.pi * frac))
+            ramp = 1.0 - jnp.cos(frac * jnp.pi / 2.0)
         else:
             raise ValueError(f"Unknown warmup {cfg.warmup_type}")
         return jnp.where(step < w, ramp * main(0), main(step - w))

@@ -220,11 +220,26 @@ def _install_torchvision():
     transforms.functional = functional
     functional.crop = _tv_crop
     tv.transforms = transforms
+
+    # torchvision.models: only reachable when a config enables the VGG16
+    # perceptual loss — construction must fail loudly, import must succeed
+    # (src/loss/loss.py imports PerceptualLoss unconditionally).
+    models = types.ModuleType("torchvision.models")
+
+    def _no_weights(*a, **k):
+        raise RuntimeError(
+            "torchvision stub: pretrained VGG16 not available in tests"
+        )
+
+    models.vgg16 = _no_weights
+    models.VGG16_Weights = types.SimpleNamespace(IMAGENET1K_V1=None, DEFAULT=None)
+    tv.models = models
     sys.modules.update(
         {
             "torchvision": tv,
             "torchvision.transforms": transforms,
             "torchvision.transforms.functional": functional,
+            "torchvision.models": models,
         }
     )
 
