@@ -156,9 +156,14 @@ def main():
         refs["fuse"],
     )
 
+    def stage(msg):
+        print(msg, file=sys.stderr, flush=True)
+
     # Compile both chain lengths up front (scan body compiles once each).
+    stage("compiling chain K...")
     lowered = jitted.lower(*common, q1)
     compiled1 = lowered.compile()
+    stage("compiling chain 2K...")
     compiled2 = jitted.lower(*common, q2).compile()
 
     def timed(fn, queries):
@@ -176,9 +181,12 @@ def main():
         return best, outs
 
     # Warmup both (first run may include device-side caching/layout work).
+    stage("warmup K...")
     jax.device_get(compiled1(*common, q1))
+    stage("warmup 2K...")
     jax.device_get(compiled2(*common, q2))
 
+    stage("timing...")
     t1, outs1 = timed(compiled1, q1)
     t2, outs2 = timed(compiled2, q2)
 
@@ -224,19 +232,21 @@ def main():
     fps = frames / t2
 
     # 3. Physics: implied MFU must be < 100% of the most generous chip peak.
-    # FLOPs come from a SINGLE-step compile (XLA's cost model counts a
-    # lax.scan body once, not x K, so the chained program under-reports).
-    single = jax.jit(
-        lambda p, rt, rb, b3, km, rf, q: predict_query(
-            model, p, q, rt, rb, b3, km, ref_fuse=rf
-        )["pred_poses"]
-    )
-    step_flops = _compiled_flops(single.lower(*common, q1[0]).compile())
-    if step_flops > 0:
-        flops_per_frame = step_flops / BATCH
+    # FLOPs come from the already-compiled chain program (XLA's cost model
+    # counts a lax.scan body once, not x K, so the chain compile reports
+    # ~one step's FLOPs). A separate single-step compile would be cleaner
+    # but costs minutes through a congested tunnel; instead the cost-model
+    # number is only trusted within a 4x window of the closed-form
+    # transformer estimate — outside it (e.g. a backend that unrolls the
+    # scan in its cost model) the analytic value is used.
+    chain_flops = _compiled_flops(compiled1)
+    analytic = _analytic_flops_per_frame()
+    step_flops = chain_flops / BATCH
+    if 0.25 * analytic <= step_flops <= 4.0 * analytic:
+        flops_per_frame = step_flops
         flops_src = "xla-cost-model"
     else:
-        flops_per_frame = _analytic_flops_per_frame()
+        flops_per_frame = analytic
         flops_src = "analytic"
     peak = _chip_peak()
     mfu = fps * flops_per_frame / peak

@@ -100,6 +100,16 @@ class LINEMODDataset(BaseDataset):
             out.append(path)
         return sorted(out)
 
+    def read_box(self, path: str, split=None):
+        """Train/ref ``-box.txt`` files store [x, y, w, h]; test
+        ``-box_fasterrcnn.txt`` stores [x1, y1, x2, y2] (reference
+        linemod.py:268-293). Found by the end-to-end dataset golden test —
+        reading both as xyxy silently shrank every reference crop."""
+        box = super().read_box(path, split)
+        if box is not None and split in ("ref", "train"):
+            box = np.array([box[0], box[1], box[0] + box[2], box[1] + box[3]])
+        return box
+
     def _load_models(self):
         if not os.path.isdir(self.model_root):
             return
@@ -117,3 +127,12 @@ class LINEMODOccludedDataset(LINEMODDataset):
     (reference src/datasets/linemodo.py)."""
 
     dataset = "linemodo"
+
+    def read_box(self, path: str, split=None):
+        """LMO boxes are [x, y, w, h] in EVERY split (reference
+        linemodo.py:282 converts unconditionally; the preprocessed LMO
+        test boxes come from BOP bbox_obj, which is xywh)."""
+        box = BaseDataset.read_box(self, path, split)
+        if box is not None:
+            box = np.array([box[0], box[1], box[0] + box[2], box[1] + box[3]])
+        return box

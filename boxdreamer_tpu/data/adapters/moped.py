@@ -72,10 +72,10 @@ class MOPEDDataset(BaseDataset):
                 self.intrinsics[split][obj] = Ks
                 self.cat_len[split][obj] = len(imgs)
 
-    def read_box(self, path: str):
+    def read_box(self, path: str, split=None):
         """Boxes come from mask PNGs: bounding rect of nonzero pixels."""
         if path is None or not path.endswith(".png"):
-            return super().read_box(path)
+            return super().read_box(path, split)
         mask = np.asarray(Image.open(path).convert("L"))
         ys, xs = np.nonzero(mask > 0)
         if len(xs) == 0:

@@ -136,7 +136,11 @@ class BaseDataset:
     def read_intrinsics(self, path: str) -> np.ndarray:
         return _load_txt_matrix(path, (3, 3))
 
-    def read_box(self, path: str) -> Optional[np.ndarray]:
+    def read_box(self, path: str, split: Optional[str] = None) -> Optional[np.ndarray]:
+        """Read a 2D box as [x1, y1, x2, y2]. ``split`` lets adapters apply
+        split-dependent storage conventions (the reference's LINEMOD stores
+        train/ref boxes as [x, y, w, h] but test boxes as xyxy —
+        linemod.py:268-293)."""
         arr = np.loadtxt(path).astype(np.float64).reshape(-1)
         return arr[:4] if arr.size >= 4 else None
 
@@ -216,7 +220,11 @@ class BaseDataset:
         images = [self.read_image(p) for p in image_paths]
         poses = np.stack([self.read_pose(p) for p in pose_paths])
         intrinsics = np.stack([self.read_intrinsics(p) for p in K_paths])
-        boxes = [self.read_box(p) if p is not None else None for p in box_paths]
+        box_splits = ["ref"] * len(ref_idxs) + [self.split]
+        boxes = [
+            self.read_box(p, s) if p is not None else None
+            for p, s in zip(box_paths, box_splits)
+        ]
         query_idx = n_total - 1  # query is the last frame
 
         return self.process_sequence(
@@ -242,6 +250,11 @@ class BaseDataset:
         dtype = np.dtype(cfg.precision)
 
         bbox3d = self.get_bbox3d(cat)
+        # The reference rounds box corners through float32 before every
+        # projection (torch.from_numpy(bbox3d).float(), base.py:437 +
+        # reproj_pytorch's .float() casts) — the crop geometry inherits the
+        # f32 rounding, so replicate it exactly.
+        bbox3d32 = None if bbox3d is None else bbox3d.astype(np.float32)
 
         is_train = self.split == "train" and self.augmentor is not None
         if is_train and cfg.pose_augmentation:
@@ -275,8 +288,8 @@ class BaseDataset:
             box = org_box
             if bbox3d is not None:
                 # Replace the detection box by the projected-3D-box enclosure
-                # (base.py:455-474).
-                proj = pp.project_points(K, poses[i], bbox3d)
+                # (base.py:455-474), in f32 like the reference.
+                proj = pp.project_points_f32(K, poses[i], bbox3d32)
                 box = pp.bbox_from_projection(proj)
 
             if box is not None:
@@ -288,7 +301,7 @@ class BaseDataset:
                     K = pp.adjust_intrinsics_for_padding(K, padding)
                     original_intrinsics[i] = K
                     if bbox3d is not None:
-                        proj = pp.project_points(K, poses[i], bbox3d)
+                        proj = pp.project_points_f32(K, poses[i], bbox3d32)
                         box = pp.bbox_from_projection(proj)
 
             if is_train and (i == query_idx or cfg.ref_aug):
@@ -377,7 +390,7 @@ class BaseDataset:
             bbox3d_rep = np.broadcast_to(bbox3d, (T, 8, 3)).copy()
             proj_crop = np.stack(
                 [
-                    pp.project_points(non_ndc_K[i], norm_poses[i], bbox3d)
+                    pp.project_points_f32(non_ndc_K[i], norm_poses[i], bbox3d32)
                     for i in range(T)
                 ]
             )

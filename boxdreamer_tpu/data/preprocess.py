@@ -15,8 +15,13 @@ import numpy as np
 from PIL import Image, ImageDraw, ImageOps
 
 
-def square_bbox(bbox: Optional[np.ndarray], padding: float = 0.0) -> Optional[np.ndarray]:
-    """Square bbox around the center (reference preprocess.py:22-45)."""
+def square_bbox(bbox: Optional[np.ndarray], padding: float = 0.1) -> Optional[np.ndarray]:
+    """Square bbox around the center (reference preprocess.py:22-45).
+
+    NOTE: the default padding is 0.1 — the reference docstring claims 0.0
+    but its signature says 0.1, and the process_data call site
+    (base.py:547) relies on the default, so crops are 10% looser than the
+    projected box. Found by the end-to-end dataset golden test."""
     if bbox is None:
         return None
     bbox = np.asarray(bbox, dtype=np.float64)
@@ -39,6 +44,25 @@ def project_points(K: np.ndarray, pose: np.ndarray, pts: np.ndarray) -> np.ndarr
     cam = pts @ pose[:3, :3].T + pose[:3, 3]
     proj = cam @ K[:3, :3].T
     return proj[:, :2] / proj[:, 2:3]
+
+
+def project_points_f32(K: np.ndarray, pose: np.ndarray, pts: np.ndarray) -> np.ndarray:
+    """3D -> pixel projection replicating the reference's reproj_pytorch
+    (camera_utils.py:9-59) bit-for-bit: every operand cast to float32, then
+    (K_homo @ pose) @ pts_homo in f32, then the perspective divide in f32.
+
+    The dataset pipeline's crop boxes derive from this projection, and the
+    downstream "is the box already square" branch (preprocess.py:167) is a
+    float-equality knife edge — computing in f64 flips it on real data, so
+    the f32 rounding IS the contract."""
+    K32 = np.zeros((3, 4), dtype=np.float32)
+    K32[:, :3] = K[:3, :3]
+    pose32 = np.asarray(pose, dtype=np.float32).reshape(4, 4)
+    pts32 = np.concatenate(
+        [np.asarray(pts, np.float32), np.ones((len(pts), 1), np.float32)], axis=1
+    ).T
+    r = (K32 @ pose32) @ pts32  # f32 matmuls, same association as torch
+    return (r[:2] / r[2:3]).T
 
 
 def make_mask_by_bbox(
@@ -145,11 +169,11 @@ def pad_and_resize_image(
     else:
         bbox = np.asarray(bbox_anno, dtype=np.float64)
         if (bbox[2] - bbox[0]) != (bbox[3] - bbox[1]):
-            # The reference re-squares with astype=int here
-            # (preprocess.py:166-168 -> square_bbox(..., astype=int)), i.e.
-            # truncation toward zero — and since base.py passes a float
-            # square_bbox as bbox_anno, float jitter makes this path common.
-            bbox = square_bbox(bbox).astype(np.int64).astype(np.float64)
+            # The reference re-squares with padding=0.0 and astype=int here
+            # (preprocess.py:166-168), i.e. truncation toward zero — and
+            # since base.py passes a float square_bbox as bbox_anno, float
+            # jitter makes this path common.
+            bbox = square_bbox(bbox, padding=0.0).astype(np.int64).astype(np.float64)
 
     crop_params = calculate_crop_parameters((w, h), bbox)
     cropped = crop_image(image, bbox, bbox_obj)

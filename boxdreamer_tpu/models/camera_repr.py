@@ -60,6 +60,13 @@ def recover_pose_from_rays(
     """Recover poses from predicted spatial rays (reference
     recover_pose_from_rays, camera_processing.py:57-116).
 
+    NOTE: the reference passes ``cameras`` positionally into
+    rays_to_cameras' ``use_half_pix`` slot (camera_processing.py:84), so it
+    actually aligns against the DEFAULT-focal (3.453) ray pattern instead
+    of the real intrinsics. We use the real intrinsics (the intended
+    algorithm; ~2x lower recovery error). Pinned by
+    tests/parity/test_rays_golden.py::test_reference_recover_uses_default_focal_quirk.
+
     Args:
         rays_spatial: (B, T, 6, g, g); K: (B, T, 3, 3).
 

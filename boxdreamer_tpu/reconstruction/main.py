@@ -63,7 +63,7 @@ def reconstruct_dataset(
         poses = np.stack([ds.read_pose(ds.poses["ref"][cat][i]) for i in idxs])
         Ks = np.stack([ds.read_intrinsics(ds.intrinsics["ref"][cat][i]) for i in idxs])
         boxes = [
-            ds.read_box(ds.boxes["ref"][cat][i])
+            ds.read_box(ds.boxes["ref"][cat][i], "ref")
             if ds.boxes["ref"][cat][i] is not None
             else None
             for i in idxs

@@ -67,8 +67,15 @@ def write_frame(dir_path: str, idx: int, pose: np.ndarray, split: str):
     img.save(base + "-color.png")
     np.savetxt(base + "-pose.txt", pose)
     np.savetxt(base + "-intrisic.txt", K_DEFAULT)
-    box_name = "-box.txt" if split == "train" else "-box_fasterrcnn.txt"
-    np.savetxt(base + box_name, box)
+    if split == "train":
+        # Train/ref boxes are stored as [x, y, w, h] (the OnePose++
+        # preprocessed layout; reference linemod.py:283-285 converts).
+        np.savetxt(
+            base + "-box.txt",
+            np.array([box[0], box[1], box[2] - box[0], box[3] - box[1]]),
+        )
+    else:
+        np.savetxt(base + "-box_fasterrcnn.txt", box)
 
 
 def write_cube_ply(path: str):

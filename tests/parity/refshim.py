@@ -61,6 +61,7 @@ _REF_PACKAGES = [
     "src.lightning",
     "src.lightning.utils",
     "src.lightning.utils.metrics",
+    "src.lightning.utils.vis",
     "src.loss",
     "src.loss.utils",
 ]
@@ -317,14 +318,57 @@ class _PerspectiveCameras:
         image_size=None,
         **_,
     ):
-        self.R = R if R is not None else torch.eye(3)[None]
-        self.T = T if T is not None else torch.zeros(1, 3)
+        if focal_length is not None and not torch.is_tensor(focal_length):
+            # pytorch3d accepts a sequence of scalars: (N,) -> (N, 2)
+            fl = torch.as_tensor(focal_length, dtype=torch.float32)
+            if fl.ndim == 1:
+                fl = fl[:, None].expand(-1, 2)
+            focal_length = fl
+        if principal_point is None and focal_length is not None:
+            principal_point = torch.zeros_like(focal_length[:, :2])
+        # N is inferred from any batched argument (pytorch3d broadcasts
+        # unspecified R/T to the common batch size).
+        n = max(
+            (len(v) for v in (R, T, focal_length, principal_point) if v is not None),
+            default=1,
+        )
+        self.R = (
+            R if R is not None else torch.eye(3)[None].expand(n, -1, -1).clone()
+        )
+        self.T = T if T is not None else torch.zeros(n, 3)
         self.focal_length = focal_length
         self.principal_point = principal_point
         self.image_size = image_size
 
     def __len__(self):
         return len(self.R)
+
+    @property
+    def device(self):
+        return self.R.device
+
+    def __getitem__(self, i):
+        """Single-camera view (rays.py:274-292 iterates cameras). Uses the
+        old-style sequence protocol: IndexError terminates iteration."""
+        if not isinstance(i, int):
+            raise TypeError(i)
+        if i < 0 or i >= len(self):
+            raise IndexError(i)
+        out = _PerspectiveCameras(
+            R=self.R[i : i + 1],
+            T=self.T[i : i + 1],
+            focal_length=None
+            if self.focal_length is None
+            else self.focal_length[i : i + 1],
+            principal_point=None
+            if self.principal_point is None
+            else self.principal_point[i : i + 1],
+            image_size=None
+            if self.image_size is None
+            else self.image_size[i : i + 1],
+        )
+        out._scalar = True
+        return out
 
     def clone(self):
         out = _PerspectiveCameras()
@@ -359,9 +403,16 @@ class _PerspectiveCameras:
         x = (xy_depth[..., 0] - px) / fx * z
         y = (xy_depth[..., 1] - py) / fy * z
         view = torch.stack([x, y, z], dim=-1)
-        if not world_coordinates:
-            return view
-        return self.get_world_to_view_transform().inverse().transform_points(view)
+        out = (
+            view
+            if not world_coordinates
+            else self.get_world_to_view_transform().inverse().transform_points(view)
+        )
+        # A camera obtained via __getitem__ is scalar: (P, 3) in, (P, 3) out
+        # (pytorch3d broadcast semantics, used by rays.py:288-291).
+        if getattr(self, "_scalar", False) and out.shape[0] == 1:
+            return out[0]
+        return out
 
 
 def _cameras_from_opencv_projection(R, tvec, camera_matrix, image_size):
@@ -505,6 +556,27 @@ def _install_pytorch3d():
     renderer.implicit = implicit
     sys.modules["pytorch3d.renderer.implicit"] = implicit
 
+    # vis_utils.py:21-25 imports these from pytorch3d.renderer /
+    # pytorch3d.vis.plotly_vis (plotting-only paths; plot_scene fails on use).
+    renderer.PerspectiveCameras = _PerspectiveCameras
+
+    class _RayBundle:
+        def __init__(self, origins=None, directions=None, lengths=None, xys=None):
+            self.origins, self.directions = origins, directions
+            self.lengths, self.xys = lengths, xys
+
+    renderer.RayBundle = _RayBundle
+    vis_pkg = types.ModuleType("pytorch3d.vis")
+    plotly_vis = types.ModuleType("pytorch3d.vis.plotly_vis")
+
+    def _no_plot_scene(*a, **k):
+        raise RuntimeError("pytorch3d stub: plot_scene not available in tests")
+
+    plotly_vis.plot_scene = _no_plot_scene
+    vis_pkg.plotly_vis = plotly_vis
+    sys.modules["pytorch3d.vis"] = vis_pkg
+    sys.modules["pytorch3d.vis.plotly_vis"] = plotly_vis
+
     cameras.PerspectiveCameras = _PerspectiveCameras
     cameras.CamerasBase = _PerspectiveCameras
     transforms_m.Rotate = _Rotate
@@ -519,6 +591,7 @@ def _install_pytorch3d():
     cam_conv.opencv_from_cameras_projection = _opencv_from_cameras_projection
 
     p3d.renderer = renderer
+    p3d.vis = vis_pkg
     renderer.cameras = cameras
     p3d.transforms = transforms_m
     p3d.utils = utils_m
@@ -577,12 +650,57 @@ def _install_misc():
     if "plyfile" not in sys.modules:
         plyfile = types.ModuleType("plyfile")
 
+        class _PlyElement:
+            def __init__(self, data):
+                self.data = data
+
         class _PlyData:
+            """Minimal ascii-PLY vertex reader with the
+            ``PlyData.read(path).elements[0].data['x']`` access pattern that
+            sample_points_on_cad.py:149-160 uses (fixtures are ascii)."""
+
+            def __init__(self, elements):
+                self.elements = elements
+
             @staticmethod
             def read(path):
-                raise RuntimeError("plyfile stub: not available in tests")
+                with open(path, "rb") as f:
+                    header = []
+                    while True:
+                        line = f.readline().decode("ascii").strip()
+                        header.append(line)
+                        if line == "end_header":
+                            break
+                    if not any(
+                        h.startswith("format ascii") for h in header
+                    ):
+                        raise RuntimeError(
+                            "plyfile stub: only ascii PLY supported in tests"
+                        )
+                    n_vertex = next(
+                        int(h.split()[-1])
+                        for h in header
+                        if h.startswith("element vertex")
+                    )
+                    props = [
+                        h.split()[-1]
+                        for h in header
+                        if h.startswith("property") and "list" not in h
+                    ]
+                    rows = [
+                        f.readline().decode("ascii").split()
+                        for _ in range(n_vertex)
+                    ]
+                data = np.array(
+                    [[float(v) for v in row[: len(props)]] for row in rows]
+                )
+                rec = np.core.records.fromarrays(
+                    data.T, names=",".join(props)
+                )
+                return _PlyData([_PlyElement(rec)])
 
         plyfile.PlyData = _PlyData
+        plyfile.PlyElement = _PlyElement
         sys.modules["plyfile"] = plyfile
 
     if "trimesh" not in sys.modules:
@@ -596,6 +714,48 @@ def _install_misc():
         trimesh.Trimesh = type("Trimesh", (), {})
         trimesh.util = types.SimpleNamespace(concatenate=_fail_tm)
         sys.modules["trimesh"] = trimesh
+
+    # Plot/IO-only deps of vis_utils.py (imported at module scope by the
+    # dataset chain via prepare_bbox3d -> get_3d_bbox_from_pts); none of
+    # their functionality is exercised by golden tests — attribute access
+    # succeeds, use fails loudly.
+    def _inert_module(name, **attrs):
+        if name in sys.modules:
+            return
+
+        class _Fail:
+            def __init__(self, *a, **k):
+                raise RuntimeError(f"{name} stub: not available in tests")
+
+            def __call__(self, *a, **k):
+                raise RuntimeError(f"{name} stub: not available in tests")
+
+        def _getattr(attr, _n=name):
+            # Dunders must raise (inspect & friends probe __file__ etc. on
+            # every sys.modules entry); anything else yields a fail-on-use
+            # placeholder class.
+            if attr.startswith("__") and attr.endswith("__"):
+                raise AttributeError(attr)
+            return _Fail
+
+        mod = types.ModuleType(name)
+        mod.__getattr__ = _getattr
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        return mod
+
+    _inert_module("imageio")
+    _inert_module("natsort", natsorted=sorted)
+    _inert_module("wis3d")
+    _inert_module("wandb")
+    _inert_module("albumentations")
+    go = types.ModuleType("plotly.graph_objs")
+    go.Figure = type("Figure", (), {})
+    go.Scatter3d = type("Scatter3d", (), {})
+    plotly_mod = _inert_module("plotly", graph_objs=go)
+    if plotly_mod is not None:
+        sys.modules["plotly.graph_objs"] = go
 
     if "omegaconf" not in sys.modules:
         oc = types.ModuleType("omegaconf")
@@ -616,6 +776,16 @@ def _install_misc():
 
 _installed = False
 
+# Top-level names we stub: their sys.modules entries need a (loader-less)
+# ModuleSpec, because transformers' lazy import machinery probes
+# availability via module.__spec__ and raises on None (import_utils.py) —
+# without this, importing HF models AFTER refshim.install() breaks.
+_STUBBED_TOPLEVEL = {
+    "timm", "torchvision", "pytorch3d", "loguru", "torchmetrics", "open3d",
+    "plyfile", "trimesh", "omegaconf", "imageio", "natsort", "wis3d",
+    "wandb", "albumentations", "plotly",
+}
+
 
 def install() -> None:
     global _installed
@@ -633,6 +803,16 @@ def install() -> None:
         mod.__package__ = pkg
         mod.__ref_shim__ = True
         sys.modules[pkg] = mod
+    import importlib.machinery
+
+    for name, mod in list(sys.modules.items()):
+        top = name.split(".")[0]
+        if (
+            isinstance(mod, types.ModuleType)
+            and getattr(mod, "__spec__", None) is None
+            and (top in _STUBBED_TOPLEVEL or getattr(mod, "__ref_shim__", False))
+        ):
+            mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
     _installed = True
 
 
