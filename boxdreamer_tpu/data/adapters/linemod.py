@@ -27,6 +27,7 @@ DEFAULT_INTRINSICS = (572.4114, 573.57043, 325.2611, 242.04899)
 
 class LINEMODDataset(BaseDataset):
     dataset = "linemod"
+    test_dirname = "real_test"  # LMO overrides: "test-preprocessed"
 
     def __init__(
         self,
@@ -41,7 +42,7 @@ class LINEMODDataset(BaseDataset):
         self.root = root
         self.model_root = os.path.join(root, "models" + (model_suffix or ""))
         self.train_root = os.path.join(root, "real_train" + (reference_suffix or ""))
-        self.test_root = os.path.join(root, "real_test")
+        self.test_root = os.path.join(root, self.test_dirname)
         self.cat_filter = cat_filter
         self.load_data()
 
@@ -127,6 +128,13 @@ class LINEMODOccludedDataset(LINEMODDataset):
     (reference src/datasets/linemodo.py)."""
 
     dataset = "linemodo"
+    # Reference linemodo.py:93 reads the occlusion test split from the
+    # BOP-scene-derived "test-preprocessed" tree (tools/bop_convert.py's
+    # convert_lmo output), with "-box.txt" files in every split (:158).
+    test_dirname = "test-preprocessed"
+
+    def _box_pattern(self, split: str) -> str:
+        return "-box.txt"
 
     def read_box(self, path: str, split=None):
         """LMO boxes are [x, y, w, h] in EVERY split (reference

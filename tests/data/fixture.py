@@ -90,6 +90,42 @@ def write_cube_ply(path: str):
             f.write(f"{p[0]} {p[1]} {p[2]}\n")
 
 
+def write_lmo_test_frame(dir_path: str, idx: int, pose: np.ndarray):
+    """LMO test-preprocessed frame: NNNNNN-color.png, 3x4 -pose.txt, xywh
+    -box.txt (BOP bbox_obj convention), NO intrinsics file (both the
+    reference and our adapter write the shared LINEMOD defaults)."""
+    base = os.path.join(dir_path, f"{idx:06d}")
+    pts2d = project(K_DEFAULT, pose, cube_vertices())
+    x0, y0 = pts2d[:, 0].min(), pts2d[:, 1].min()
+    w, h = pts2d[:, 0].max() - x0, pts2d[:, 1].max() - y0
+    img = Image.new("RGB", (IMG_W, IMG_H), (20, 24, 30))
+    ImageDraw.Draw(img).rectangle(
+        [int(x0), int(y0), int(x0 + w), int(y0 + h)], fill=(60, 160, 120)
+    )
+    img.save(base + "-color.png")
+    np.savetxt(base + "-pose.txt", pose[:3])
+    np.savetxt(base + "-box.txt", np.array([x0, y0, w, h]))
+
+
+def make_lmo_fixture(root: str, cats=("cat",), n_train: int = 8, n_test: int = 3):
+    """LINEMOD-Occlusion layout: LINEMOD real_train refs + a
+    test-preprocessed occlusion split (reference linemodo.py:74-93)."""
+    for cat in cats:
+        train_dir = os.path.join(root, "real_train", cat)
+        test_dir = os.path.join(root, "test-preprocessed", cat)
+        model_dir = os.path.join(root, "models", cat)
+        for d in (train_dir, test_dir, model_dir):
+            os.makedirs(d, exist_ok=True)
+        for i in range(n_train):
+            write_frame(train_dir, i, look_at_pose(2 * np.pi * i / n_train), "train")
+        for i in range(n_test):
+            write_lmo_test_frame(
+                test_dir, i, look_at_pose(2 * np.pi * (i + 0.21) / n_test, 0.5)
+            )
+        write_cube_ply(os.path.join(model_dir, f"{cat}.ply"))
+    return root
+
+
 def make_linemod_fixture(root: str, cats=("cat",), n_train: int = 8, n_test: int = 3):
     """Create the fixture tree; returns the root path."""
     for cat in cats:

@@ -20,7 +20,7 @@ import pytest
 import torch
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "data"))
-from fixture import make_linemod_fixture  # noqa: E402
+from fixture import make_linemod_fixture, make_lmo_fixture  # noqa: E402
 
 from tests.parity import refshim
 
@@ -165,6 +165,46 @@ def test_batch_value_golden(ref_item, our_item, key, atol):
         ref, ours = np.broadcast_arrays(ref, ours)
     assert ref.shape == ours.shape, f"{key}: {ref.shape} vs {ours.shape}"
     np.testing.assert_allclose(ours, ref, atol=atol, err_msg=key)
+
+
+def test_lmo_dataset_golden(tmp_path):
+    """LINEMOD-Occlusion: the REAL reference LINEMODO dataset (3x4 poses,
+    xywh boxes in EVERY split, test-preprocessed tree, default intrinsics
+    auto-written) vs our LINEMODOccludedDataset on the same fixture."""
+    root = make_lmo_fixture(str(tmp_path / "lmo"))
+    lmo = refshim.load("src.datasets.linemodo")
+    cfg = _Cfg(
+        base=_ref_base_config(),
+        root=root,
+        cat_filter=None,
+        model_suffix=None,
+        reference_suffix=None,
+    )
+    ref_item = lmo.LINEMOD_Occulusion(cfg, "test")[(0, None)]  # [sic]
+
+    ours_cfg = DatasetConfig(
+        image_size=224, length=LENGTH, sampling_strategy="uniform",
+        coordinate="object", precision="float32",
+    )
+    our_item = build_dataset("LINEMODO", ours_cfg, "test", root=root).get_item(0)
+
+    assert [os.path.basename(p) for p in ref_item["original_images"]] == [
+        os.path.basename(p) for p in our_item["original_images"]
+    ]
+    for key, atol in [
+        ("images", 4.5e-3),
+        ("poses", 1e-5),
+        ("original_poses", 1e-6),
+        ("intrinsics", 1e-4),
+        ("non_ndc_intrinsics", 1e-3),
+        ("crop_parameters", 1e-4),
+        ("bbox_3d", 1e-6),
+        ("bbox_feat", 2e-3),
+    ]:
+        ref = _t2n(ref_item[key]).astype(np.float64)
+        ours = _t2n(our_item[key]).astype(np.float64)
+        assert ref.shape == ours.shape, f"{key}: {ref.shape} vs {ours.shape}"
+        np.testing.assert_allclose(ours, ref, atol=atol, err_msg=key)
 
 
 def test_images_are_real_pixels(ref_item):
