@@ -65,8 +65,11 @@ class YCBVDataset(BaseDataset):
         self._load_models()
 
     def _category_dirs(self, root: str):
-        """Yield (cat_key, dir) handling flat or obj/seq nesting
-        (reference ycbv.py:168-196; nested keys use '<obj>_<seq>')."""
+        """Yield (obj_key, frame_dir) handling flat or obj/seq nesting.
+        The reference MERGES all sequences of an object under the bare obj
+        key (ycbv.py:234 ``cat.split('/')[0]`` + the concat at :252-260);
+        its concat order is thread-completion order — we use sorted seq
+        order, the deterministic refinement."""
         for entry in sorted(os.listdir(root)):
             d = os.path.join(root, entry)
             if not os.path.isdir(d):
@@ -77,7 +80,7 @@ class YCBVDataset(BaseDataset):
                 for seq in sorted(os.listdir(d)):
                     sd = os.path.join(d, seq)
                     if os.path.isdir(sd):
-                        yield f"{entry}_{seq}", sd
+                        yield entry, sd
 
     def _load_split(self, split: str):
         root = {"train": self.train_root, "test": self.test_root, "val": self.val_root}[
@@ -94,11 +97,12 @@ class YCBVDataset(BaseDataset):
             Ks = sorted(glob.glob(os.path.join(d, "*-intrinsics.txt")))
             if not imgs or not (len(imgs) == len(boxes) == len(poses) == len(Ks)):
                 continue
-            self.images[split][cat] = imgs
-            self.boxes[split][cat] = boxes
-            self.poses[split][cat] = poses
-            self.intrinsics[split][cat] = Ks
-            self.cat_len[split][cat] = len(imgs)
+            # Sequences of one object accumulate under the obj key.
+            self.images[split].setdefault(cat, []).extend(imgs)
+            self.boxes[split].setdefault(cat, []).extend(boxes)
+            self.poses[split].setdefault(cat, []).extend(poses)
+            self.intrinsics[split].setdefault(cat, []).extend(Ks)
+            self.cat_len[split][cat] = len(self.images[split][cat])
 
     def _load_models(self):
         if not os.path.isdir(self.model_root):
@@ -106,6 +110,12 @@ class YCBVDataset(BaseDataset):
         for entry in sorted(os.listdir(self.model_root)):
             d = os.path.join(self.model_root, entry)
             if os.path.isdir(d):
+                # The reference looks ONLY for models/<obj>/points.xyz
+                # (ycbv.py:300-314); keep .ply as a convenience fallback.
+                xyz = os.path.join(d, "points.xyz")
+                if os.path.exists(xyz):
+                    self.model_paths[entry] = xyz
+                    continue
                 plys = sorted(glob.glob(os.path.join(d, "*.ply")))
                 if plys:
                     self.model_paths[entry] = plys[0]

@@ -64,9 +64,12 @@ def convert_scene(
             pose = np.eye(4)
             pose[:3, :3] = np.asarray(gt["cam_R_m2c"], np.float64).reshape(3, 3)
             pose[:3, 3] = np.asarray(gt["cam_t_m2c"], np.float64) / 1000.0  # mm->m
-            obj_dir = os.path.join(out_split_dir, f"obj_{obj_id:06d}")
+            # Nest per scene: the reference YCBV loader requires
+            # <split>/<obj>/<seq>/ sequence directories (ycbv.py:168-196)
+            # and merges sequences per object at load.
+            obj_dir = os.path.join(out_split_dir, f"obj_{obj_id:06d}", scene)
             os.makedirs(obj_dir, exist_ok=True)
-            base = os.path.join(obj_dir, f"{scene}_{int(im_id):06d}")
+            base = os.path.join(obj_dir, f"{int(im_id):06d}")
             ext = os.path.splitext(rgb)[1]
             dst = base + "-color.png" if ext == ".png" else base + "-color" + ext
             if not os.path.lexists(dst):

@@ -126,6 +126,45 @@ def make_lmo_fixture(root: str, cats=("cat",), n_train: int = 8, n_test: int = 3
     return root
 
 
+def write_ycbv_frame(dir_path: str, idx: int, pose: np.ndarray):
+    """YCBV frame: xyxy -box.txt + 4x4 -pose.txt + -intrinsics.txt [sic:
+    spelled correctly here, unlike LINEMOD's -intrisic.txt]
+    (reference ycbv.py:200-204)."""
+    base = os.path.join(dir_path, f"{idx:06d}")
+    pts2d = project(K_DEFAULT, pose, cube_vertices())
+    box = np.array(
+        [pts2d[:, 0].min(), pts2d[:, 1].min(), pts2d[:, 0].max(), pts2d[:, 1].max()]
+    )
+    img = Image.new("RGB", (IMG_W, IMG_H), (25, 20, 35))
+    ImageDraw.Draw(img).rectangle([int(v) for v in box], fill=(90, 140, 200))
+    img.save(base + "-color.png")
+    np.savetxt(base + "-pose.txt", pose)
+    np.savetxt(base + "-intrinsics.txt", K_DEFAULT)
+    np.savetxt(base + "-box.txt", box)
+
+
+def make_ycbv_fixture(
+    root: str, objs=("obj_01",), n_train: int = 6, n_test: int = 3, seq="0001"
+):
+    """YCBV-BoxDreamer layout: train/<obj>/<seq>/, test/<obj>/<seq>/, and
+    models/<obj>/points.xyz (reference ycbv.py:168-314 — frame files live
+    in per-sequence subdirectories, merged per object at load)."""
+    for obj in objs:
+        train_dir = os.path.join(root, "train", obj, seq)
+        test_dir = os.path.join(root, "test", obj, seq)
+        model_dir = os.path.join(root, "models", obj)
+        for d in (train_dir, test_dir, model_dir):
+            os.makedirs(d, exist_ok=True)
+        for i in range(n_train):
+            write_ycbv_frame(train_dir, i, look_at_pose(2 * np.pi * i / n_train))
+        for i in range(n_test):
+            write_ycbv_frame(
+                test_dir, i, look_at_pose(2 * np.pi * (i + 0.29) / n_test, 0.5)
+            )
+        np.savetxt(os.path.join(model_dir, "points.xyz"), cube_vertices(7))
+    return root
+
+
 def make_linemod_fixture(root: str, cats=("cat",), n_train: int = 8, n_test: int = 3):
     """Create the fixture tree; returns the root path."""
     for cat in cats:

@@ -20,7 +20,11 @@ import pytest
 import torch
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "data"))
-from fixture import make_linemod_fixture, make_lmo_fixture  # noqa: E402
+from fixture import (  # noqa: E402
+    make_linemod_fixture,
+    make_lmo_fixture,
+    make_ycbv_fixture,
+)
 
 from tests.parity import refshim
 
@@ -195,6 +199,48 @@ def test_lmo_dataset_golden(tmp_path):
         ("images", 4.5e-3),
         ("poses", 1e-5),
         ("original_poses", 1e-6),
+        ("intrinsics", 1e-4),
+        ("non_ndc_intrinsics", 1e-3),
+        ("crop_parameters", 1e-4),
+        ("bbox_3d", 1e-6),
+        ("bbox_feat", 2e-3),
+    ]:
+        ref = _t2n(ref_item[key]).astype(np.float64)
+        ours = _t2n(our_item[key]).astype(np.float64)
+        assert ref.shape == ours.shape, f"{key}: {ref.shape} vs {ours.shape}"
+        np.testing.assert_allclose(ours, ref, atol=atol, err_msg=key)
+
+
+def test_ycbv_dataset_golden(tmp_path):
+    """YCB-Video: the REAL reference YCBV dataset (xyxy boxes, points.xyz
+    CAD models, same_seq reference mode for determinism) vs our
+    YCBVDataset on the same fixture."""
+    root = make_ycbv_fixture(str(tmp_path / "ycbv"))
+    ycbv = refshim.load("src.datasets.ycbv")
+    cfg = _Cfg(
+        base=_ref_base_config(),
+        root=root,
+        cat_filter=None,
+        model_suffix=None,
+        reference_suffix=None,
+        ref_mode="same_seq",  # random_seq shuffles with global np.random
+    )
+    ref_item = ycbv.YCBV_BoxDreamer(cfg, "test")[(0, None)]
+
+    ours_cfg = DatasetConfig(
+        image_size=224, length=LENGTH, sampling_strategy="uniform",
+        coordinate="object", precision="float32",
+    )
+    our_item = build_dataset(
+        "YCBV", ours_cfg, "test", root=root, ref_mode="same_seq"
+    ).get_item(0)
+
+    assert [os.path.basename(p) for p in ref_item["original_images"]] == [
+        os.path.basename(p) for p in our_item["original_images"]
+    ]
+    for key, atol in [
+        ("images", 4.5e-3),
+        ("poses", 1e-5),
         ("intrinsics", 1e-4),
         ("non_ndc_intrinsics", 1e-3),
         ("crop_parameters", 1e-4),

@@ -65,12 +65,14 @@ def test_bop_converter(tmp_path):
     bop = make_bop_fixture(str(tmp_path / "bop"))
     out = str(tmp_path / "converted")
     assert main(["--bop-root", bop, "--split", "test", "--output", out]) == 0
-    obj_dir = os.path.join(out, "test", "obj_000005")
+    # Frames nest per scene: <split>/<obj>/<scene>/<im>-* (the reference
+    # YCBV loader's required sequence layout).
+    obj_dir = os.path.join(out, "test", "obj_000005", "000001")
     files = sorted(os.listdir(obj_dir))
-    assert "000001_000000-color.png" in files
-    pose = np.loadtxt(os.path.join(obj_dir, "000001_000000-pose.txt"))
+    assert "000000-color.png" in files
+    pose = np.loadtxt(os.path.join(obj_dir, "000000-pose.txt"))
     np.testing.assert_allclose(pose, look_at_pose(0.0), atol=1e-6)  # mm->m undone
-    box = np.loadtxt(os.path.join(obj_dir, "000001_000000-box.txt"))
+    box = np.loadtxt(os.path.join(obj_dir, "000000-box.txt"))
     np.testing.assert_allclose(box, [10, 12, 30, 28])
     assert os.path.exists(
         os.path.join(out, "models", "obj_000005", "obj_000005.ply")
