@@ -75,7 +75,10 @@ class OnePoseDataset(BaseDataset):
                 if not os.path.isdir(color):
                     continue
                 seq = seq_dir_name.split("-")[-1]
-                cat = f"{obj}_{seq}"
+                # Reference cat key: f"{obj.split('-')[0]}_{seq.split('-')[-1]}"
+                # (onepose.py:294) — the object part drops everything after
+                # the first dash (OnePose dirs are like "0408-colorbox").
+                cat = f"{obj.split('-')[0]}_{seq}"
                 imgs = _numeric_sort(glob.glob(os.path.join(color, "*.png")))
                 poses = _numeric_sort(
                     glob.glob(os.path.join(seq_dir, "poses_ba", "*.txt"))

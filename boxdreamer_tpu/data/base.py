@@ -204,6 +204,20 @@ class BaseDataset:
             rng=self._rng,
         )
 
+        # Except for the LINEMOD-family/onepose datasets (whose ref DB is a
+        # separate split), the query frame must not appear among its own
+        # references — drop it and backfill with random distinct indices
+        # (reference base.py:863-874).
+        if (
+            q_idx in ref_idxs
+            and self.dataset not in ("linemod", "ycbv", "linemodo", "onepose")
+        ):
+            ref_idxs = ref_idxs[ref_idxs != q_idx]
+            while len(ref_idxs) < n_refs:
+                new_idx = int(self._rng.integers(0, ref_db_len))
+                if new_idx != q_idx and new_idx not in ref_idxs:
+                    ref_idxs = np.append(ref_idxs, new_idx)
+
         image_paths = [self.images["ref"][cat][i] for i in ref_idxs] + [
             self.images[self.split][cat][q_idx]
         ]
@@ -250,6 +264,20 @@ class BaseDataset:
         dtype = np.dtype(cfg.precision)
 
         bbox3d = self.get_bbox3d(cat)
+        # The reference stacks all per-frame boxes into ONE ndarray
+        # (base.py:917 np.array(ref_boxes + query_box)); when every adapter
+        # box is integer-typed (e.g. MOPED's mask-derived boxes), assigning
+        # the float projected-box replacement into that array TRUNCATES to
+        # int (base.py:474) — replicate that dtype-dependent contract.
+        int_boxes = all(b is not None for b in boxes) and np.asarray(
+            boxes
+        ).dtype.kind in "iu"
+
+        def _as_stored(box):
+            # Keep the integer dtype: square_bbox/downstream then inherit
+            # the reference's int-truncation semantics.
+            return box.astype(np.int64) if int_boxes else box
+
         # The reference rounds box corners through float32 before every
         # projection (torch.from_numpy(bbox3d).float(), base.py:437 +
         # reproj_pytorch's .float() casts) — the crop geometry inherits the
@@ -290,7 +318,7 @@ class BaseDataset:
                 # Replace the detection box by the projected-3D-box enclosure
                 # (base.py:455-474), in f32 like the reference.
                 proj = pp.project_points_f32(K, poses[i], bbox3d32)
-                box = pp.bbox_from_projection(proj)
+                box = _as_stored(pp.bbox_from_projection(proj))
 
             if box is not None:
                 dx, dy = box[2] - box[0], box[3] - box[1]
@@ -302,7 +330,7 @@ class BaseDataset:
                     original_intrinsics[i] = K
                     if bbox3d is not None:
                         proj = pp.project_points_f32(K, poses[i], bbox3d32)
-                        box = pp.bbox_from_projection(proj)
+                        box = _as_stored(pp.bbox_from_projection(proj))
 
             if is_train and (i == query_idx or cfg.ref_aug):
                 # Occlusion-style augs on the query frame only by default

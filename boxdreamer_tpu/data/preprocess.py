@@ -24,12 +24,19 @@ def square_bbox(bbox: Optional[np.ndarray], padding: float = 0.1) -> Optional[np
     projected box. Found by the end-to-end dataset golden test."""
     if bbox is None:
         return None
+    in_dtype = np.asarray(bbox).dtype
     bbox = np.asarray(bbox, dtype=np.float64)
     center = (bbox[:2] + bbox[2:]) / 2.0
     size = (bbox[2:] - bbox[:2]).max() / 2.0 * (1.0 + padding)
-    return np.array(
+    out = np.array(
         [center[0] - size, center[1] - size, center[0] + size, center[1] + size]
     )
+    # The reference's astype defaults to type(bbox[0]) — an INTEGER input
+    # box (e.g. MOPED's mask-derived boxes) yields an int-truncated square
+    # box (preprocess.py:35-44).
+    if in_dtype.kind in "iu":
+        out = out.astype(in_dtype)
+    return out
 
 
 def bbox_from_projection(proj: np.ndarray) -> np.ndarray:

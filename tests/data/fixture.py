@@ -165,6 +165,71 @@ def make_ycbv_fixture(
     return root
 
 
+def make_onepose_fixture(root: str, obj="toycar-1017", seqs=("1", "2"), n=5):
+    """OnePose layout (reference onepose.py:276-330):
+    test_data/<obj>/<obj-prefix>-<seq>/{color,poses_ba,intrin_ba,reproj_box}
+    + <obj>/box3d_corners.txt. reproj_box files are REQUIRED (the reference
+    skips sequences whose file counts mismatch)."""
+    corners = np.array(
+        [
+            [sx * CUBE_HALF, sy * CUBE_HALF, sz * CUBE_HALF]
+            for sz in (-1, 1)
+            for sy in (-1, 1)
+            for sx in (-1, 1)
+        ]
+    )
+    obj_dir = os.path.join(root, "test_data", obj)
+    os.makedirs(obj_dir, exist_ok=True)
+    np.savetxt(os.path.join(obj_dir, "box3d_corners.txt"), corners)
+    prefix = obj.split("-")[0]
+    for s_i, seq in enumerate(seqs):
+        seq_dir = os.path.join(obj_dir, f"{prefix}-{seq}")
+        for sub in ("color", "poses_ba", "intrin_ba", "reproj_box"):
+            os.makedirs(os.path.join(seq_dir, sub), exist_ok=True)
+        for i in range(n):
+            pose = look_at_pose(2 * np.pi * (i + 0.3 * s_i) / n, 0.45)
+            pts2d = project(K_DEFAULT, pose, cube_vertices())
+            box = [pts2d[:, 0].min(), pts2d[:, 1].min(), pts2d[:, 0].max(), pts2d[:, 1].max()]
+            img = Image.new("RGB", (IMG_W, IMG_H), (30, 18, 22))
+            ImageDraw.Draw(img).rectangle([int(v) for v in box], fill=(200, 120, 90))
+            img.save(os.path.join(seq_dir, "color", f"{i}.png"))
+            np.savetxt(os.path.join(seq_dir, "poses_ba", f"{i}.txt"), pose)
+            np.savetxt(os.path.join(seq_dir, "intrin_ba", f"{i}.txt"), K_DEFAULT)
+            np.savetxt(
+                os.path.join(seq_dir, "reproj_box", f"{i}.txt"),
+                project(K_DEFAULT, pose, corners),
+            )
+    return root
+
+
+def make_moped_fixture(root: str, obj="toy", seqs=("00", "01"), n=5):
+    """MOPED layout (reference moped.py:170-248): reference/<obj>/<seq>/ and
+    test/<obj>/<seq>/ with color/*.jpg + mask/*.png + pose/*.txt +
+    intrinsics/*.txt, plus per-sequence models/<prefix>-<obj>-<seq>.ply."""
+    for prefix, top in (("reference", "reference"), ("test", "test")):
+        for seq in seqs:
+            seq_dir = os.path.join(root, top, obj, seq)
+            for sub in ("color", "mask", "pose", "intrinsics"):
+                os.makedirs(os.path.join(seq_dir, sub), exist_ok=True)
+            for i in range(n):
+                shift = 0.11 if prefix == "test" else 0.0
+                pose = look_at_pose(2 * np.pi * (i + shift) / n, 0.42)
+                pts2d = project(K_DEFAULT, pose, cube_vertices())
+                box = [int(pts2d[:, 0].min()), int(pts2d[:, 1].min()),
+                       int(pts2d[:, 0].max()), int(pts2d[:, 1].max())]
+                img = Image.new("RGB", (IMG_W, IMG_H), (16, 26, 20))
+                ImageDraw.Draw(img).rectangle(box, fill=(150, 150, 80))
+                img.save(os.path.join(seq_dir, "color", f"{i}.jpg"), quality=92)
+                mask = Image.new("L", (IMG_W, IMG_H), 0)
+                ImageDraw.Draw(mask).rectangle(box, fill=255)
+                mask.save(os.path.join(seq_dir, "mask", f"{i}.png"))
+                np.savetxt(os.path.join(seq_dir, "pose", f"{i}.txt"), pose)
+                np.savetxt(os.path.join(seq_dir, "intrinsics", f"{i}.txt"), K_DEFAULT)
+            os.makedirs(os.path.join(root, "models"), exist_ok=True)
+            write_cube_ply(os.path.join(root, "models", f"{prefix}-{obj}-{seq}.ply"))
+    return root
+
+
 def make_linemod_fixture(root: str, cats=("cat",), n_train: int = 8, n_test: int = 3):
     """Create the fixture tree; returns the root path."""
     for cat in cats:

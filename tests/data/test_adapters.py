@@ -93,8 +93,10 @@ def test_onepose_first_seq_mode(tmp_path):
     root = make_onepose(str(tmp_path))
     ds = build_dataset("OnePose", CFG, "test", root=root)
     # seq 1 -> ref DB; seq 2 -> eval split, merged per object.
-    assert ds.cat_len["ref"]["0408-box"] == 4
-    assert ds.cat_len["test"]["0408-box"] == 4
+    # Reference cat keys drop everything after the first dash in the
+    # object dirname (onepose.py:294): "0408-box" -> "0408".
+    assert ds.cat_len["ref"]["0408"] == 4
+    assert ds.cat_len["test"]["0408"] == 4
     batch = ds[0]
     assert batch["bbox_3d"].shape == (3, 8, 3)
     assert batch["bbox_feat"].shape == (3, 8, 64, 64)
@@ -103,8 +105,8 @@ def test_onepose_first_seq_mode(tmp_path):
 def test_onepose_same_seq_mode(tmp_path):
     root = make_onepose(str(tmp_path))
     ds = build_dataset("OnePose", CFG, "test", root=root, ref_mode="same_seq")
-    assert "0408-box_1" in ds.cat_len["test"]
-    assert "0408-box_2" in ds.cat_len["test"]
+    assert "0408_1" in ds.cat_len["test"]
+    assert "0408_2" in ds.cat_len["test"]
 
 
 # ---------------------------------------------------------------- MOPED
@@ -134,9 +136,11 @@ def test_moped_adapter(tmp_path):
     root = make_moped(str(tmp_path))
     ds = build_dataset("MOPED", CFG, "test", root=root)
     assert len(ds) == 4
-    assert ds.cat_len["ref"]["toy"] == 4
-    # Mask-derived box.
-    box = ds.read_box(ds.boxes["test"]["toy"][0])
+    # Per-sequence categories with the reference's prefix naming
+    # (moped.py:160-164); same_seq default -> ref == the test sequence.
+    assert ds.cat_len["ref"]["test-toy-s1"] == 4
+    # Mask-derived box (inclusive max, reference moped.py:264-274).
+    box = ds.read_box(ds.boxes["test"]["test-toy-s1"][0])
     assert box is not None and box[2] > box[0]
     batch = ds[0]
     assert batch["images"].shape == (3, 3, 64, 64)

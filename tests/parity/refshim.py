@@ -746,6 +746,7 @@ def _install_misc():
         return mod
 
     _inert_module("imageio")
+    _inert_module("lmdb")
     _inert_module("natsort", natsorted=sorted)
     _inert_module("wis3d")
     _inert_module("wandb")
@@ -783,7 +784,7 @@ _installed = False
 _STUBBED_TOPLEVEL = {
     "timm", "torchvision", "pytorch3d", "loguru", "torchmetrics", "open3d",
     "plyfile", "trimesh", "omegaconf", "imageio", "natsort", "wis3d",
-    "wandb", "albumentations", "plotly",
+    "wandb", "albumentations", "plotly", "lmdb",
 }
 
 

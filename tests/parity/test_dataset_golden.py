@@ -23,6 +23,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "data"))
 from fixture import (  # noqa: E402
     make_linemod_fixture,
     make_lmo_fixture,
+    make_moped_fixture,
+    make_onepose_fixture,
     make_ycbv_fixture,
 )
 
@@ -238,6 +240,100 @@ def test_ycbv_dataset_golden(tmp_path):
     assert [os.path.basename(p) for p in ref_item["original_images"]] == [
         os.path.basename(p) for p in our_item["original_images"]
     ]
+    for key, atol in [
+        ("images", 4.5e-3),
+        ("poses", 1e-5),
+        ("intrinsics", 1e-4),
+        ("non_ndc_intrinsics", 1e-3),
+        ("crop_parameters", 1e-4),
+        ("bbox_3d", 1e-6),
+        ("bbox_feat", 2e-3),
+    ]:
+        ref = _t2n(ref_item[key]).astype(np.float64)
+        ours = _t2n(our_item[key]).astype(np.float64)
+        assert ref.shape == ours.shape, f"{key}: {ref.shape} vs {ours.shape}"
+        np.testing.assert_allclose(ours, ref, atol=atol, err_msg=key)
+
+
+@pytest.mark.parametrize("ref_mode", ["first_seq", "same_seq"])
+def test_onepose_dataset_golden(tmp_path, ref_mode):
+    """OnePose: the REAL reference OnePoseDataset (seq dirs, numeric file
+    sort, boxes always None from reproj_box, box3d_corners.txt 3D boxes,
+    first_seq reference protocol) vs our OnePoseDataset.
+
+    same_seq uses a SINGLE sequence: the reference loads sequences on a
+    thread pool and its category order is as_completed order, so with >1
+    sequence the queried category is nondeterministic."""
+    seqs = ("1", "2") if ref_mode == "first_seq" else ("1",)
+    root = make_onepose_fixture(str(tmp_path / "op"), seqs=seqs)
+    op = refshim.load("src.datasets.onepose")
+    cfg = _Cfg(
+        base=_ref_base_config(),
+        root=root,
+        cat_filter=None,
+        model_suffix=None,
+        reference_suffix=None,
+        ref_mode=ref_mode,
+    )
+    ref_ds = op.OnePoseDataset(cfg, "test")
+    ref_item = ref_ds[(0, None)]
+
+    ours_cfg = DatasetConfig(
+        image_size=224, length=LENGTH, sampling_strategy="uniform",
+        coordinate="object", precision="float32",
+    )
+    our_item = build_dataset(
+        "OnePose", ours_cfg, "test", root=root, ref_mode=ref_mode
+    ).get_item(0)
+
+    assert [os.path.basename(p) for p in ref_item["original_images"]] == [
+        os.path.basename(p) for p in our_item["original_images"]
+    ]
+    assert ref_item["cat"] == our_item["cat"] == "toycar"
+    for key, atol in [
+        ("images", 4.5e-3),
+        ("poses", 1e-5),
+        ("intrinsics", 1e-4),
+        ("non_ndc_intrinsics", 1e-3),
+        ("crop_parameters", 1e-4),
+        ("bbox_3d", 1e-6),
+        ("bbox_feat", 2e-3),
+    ]:
+        ref = _t2n(ref_item[key]).astype(np.float64)
+        ours = _t2n(our_item[key]).astype(np.float64)
+        assert ref.shape == ours.shape, f"{key}: {ref.shape} vs {ours.shape}"
+        np.testing.assert_allclose(ours, ref, atol=atol, err_msg=key)
+
+
+def test_moped_dataset_golden(tmp_path):
+    """MOPED: the REAL reference MOPED_BoxDreamer (per-sequence categories
+    'test-<obj>-<seq>', same-split refs, inclusive mask-derived boxes,
+    per-sequence .ply models) vs our MOPEDDataset."""
+    root = make_moped_fixture(str(tmp_path / "moped"))
+    mp = refshim.load("src.datasets.moped")
+    cfg = _Cfg(
+        base=_ref_base_config(),
+        root=root,
+        cat_filter=None,
+        ref_mode="same_seq",
+    )
+    # Query index 1: the uniform ref pick is [0, 2], so the query is NOT
+    # among its own references — index 0 would trigger the reference's
+    # random backfill (base.py:863-874) and break determinism.
+    ref_item = mp.MOPED_BoxDreamer(cfg, "test")[(1, None)]
+
+    ours_cfg = DatasetConfig(
+        image_size=224, length=LENGTH, sampling_strategy="uniform",
+        coordinate="object", precision="float32",
+    )
+    our_item = build_dataset(
+        "MOPED", ours_cfg, "test", root=root, ref_mode="same_seq"
+    ).get_item(1)
+
+    assert [os.path.basename(p) for p in ref_item["original_images"]] == [
+        os.path.basename(p) for p in our_item["original_images"]
+    ]
+    assert ref_item["cat"] == our_item["cat"] == "test-toy-00"
     for key, atol in [
         ("images", 4.5e-3),
         ("poses", 1e-5),
