@@ -51,16 +51,19 @@ class CO3DDataset(BaseDataset):
 
     @staticmethod
     def _convert_npz(npz_path: str):
+        """One-time npz -> txt conversion with the reference's key names
+        'camera_pose' / 'camera_intrinsics' (co3d.py:131-146)."""
         pose_file = npz_path.replace(".npz", "_pose.txt")
         K_file = npz_path.replace(".npz", "_intrinsic.txt")
         if os.path.exists(pose_file) and os.path.exists(K_file):
             return pose_file, K_file
         data = np.load(npz_path)
-        pose = np.eye(4)
-        pose[:3, :3] = data["R"].reshape(3, 3)
-        pose[:3, 3] = data["T"].reshape(3)
-        np.savetxt(pose_file, pose)
-        np.savetxt(K_file, data["K"].reshape(3, 3))
+        pose = data.get("camera_pose")
+        K = data.get("camera_intrinsics")
+        if pose is None or K is None:
+            return None, None
+        np.savetxt(pose_file, np.asarray(pose).reshape(4, 4))
+        np.savetxt(K_file, np.asarray(K).reshape(3, 3))
         return pose_file, K_file
 
     def load_data(self):
@@ -78,31 +81,67 @@ class CO3DDataset(BaseDataset):
                 if not os.path.isdir(img_dir):
                     continue
                 key = f"{cat}_{seq}"
-                imgs = sorted(glob.glob(os.path.join(img_dir, "frame*.jpg")))
-                poses, Ks, keep = [], [], []
+                # The metadata maps seq -> SELECTED frame indices
+                # (co3d.py:171-186 builds frameNNNNNN paths from them); a
+                # plain list of seqs (fallback layout) globs everything.
+                frames = seqs[seq] if isinstance(seqs, dict) else None
+                if frames is not None:
+                    imgs = [
+                        os.path.join(img_dir, f"frame{int(f):06d}.jpg")
+                        for f in frames
+                    ]
+                else:
+                    imgs = sorted(glob.glob(os.path.join(img_dir, "frame*.jpg")))
+                poses, Ks, keep, masks = [], [], [], []
                 for img in imgs:
                     stem = os.path.splitext(img)[0]
                     if os.path.exists(stem + "_pose.txt"):
-                        poses.append(stem + "_pose.txt")
-                        Ks.append(stem + "_intrinsic.txt")
-                        keep.append(img)
+                        p, k = stem + "_pose.txt", stem + "_intrinsic.txt"
                     elif os.path.exists(stem + ".npz"):
                         p, k = self._convert_npz(stem + ".npz")
-                        poses.append(p)
-                        Ks.append(k)
-                        keep.append(img)
+                    else:
+                        continue
+                    if p is None:
+                        continue
+                    poses.append(p)
+                    Ks.append(k)
+                    keep.append(img)
+                    # Boxes come from the mask images (co3d.py:181-229
+                    # "boxes": selected_masks).
+                    mask = os.path.join(
+                        seq_dir,
+                        "masks",
+                        os.path.basename(stem) + ".png",
+                    )
+                    masks.append(mask if os.path.exists(mask) else None)
                 if not keep:
                     continue
                 self.images[split][key] = keep
                 self.poses[split][key] = poses
                 self.intrinsics[split][key] = Ks
-                self.boxes[split][key] = [None] * len(keep)
+                self.boxes[split][key] = masks
                 self.cat_len[split][key] = len(keep)
                 ply = os.path.join(raw_root, cat, seq, "pointcloud.ply")
                 if os.path.exists(ply):
                     self.model_paths[key] = ply
         for table in ("images", "boxes", "poses", "intrinsics", "cat_len"):
             getattr(self, table)["ref"] = getattr(self, table)[split]
+
+    def read_box(self, path: str, split=None):
+        """Mask-png boxes via the reference's extract_bboxes semantics
+        (bbox_utils.py:13-34): cv2.boundingRect -> [x, y, x+w, y+h], i.e.
+        EXCLUSIVE max (unlike MOPED's inclusive variant)."""
+        if path is None or not path.endswith(".png"):
+            return super().read_box(path, split)
+        from PIL import Image
+
+        mask = np.asarray(Image.open(path).convert("L"))
+        ys, xs = np.nonzero(mask > 0)
+        if len(xs) == 0:
+            return None
+        return np.array(
+            [xs.min(), ys.min(), xs.max() + 1, ys.max() + 1], dtype=np.int64
+        )
 
     def read_pose(self, path: str) -> np.ndarray:
         # CO3D stores cam2world; the pipeline wants world2cam

@@ -157,6 +157,11 @@ class BaseDataset:
         if path is None:
             return None
         pts = get_all_points_on_model(path)
+        # Always axis-aligned: prepare_bbox3d HAS a PCA branch for
+        # co3d/moped (bbox_utils.py:139-160), but the pipeline's only call
+        # site passes no ``dataset`` argument (base.py:436), so that branch
+        # is dead in the reference's data path — pp.pca_bbox_corners
+        # implements it for API parity.
         return pp.bbox_corners_from_points(pts)
 
     # --------------------------------------------------------------- getitem

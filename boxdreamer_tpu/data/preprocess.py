@@ -53,6 +53,20 @@ def project_points(K: np.ndarray, pose: np.ndarray, pts: np.ndarray) -> np.ndarr
     return proj[:, :2] / proj[:, 2:3]
 
 
+def pca_bbox_corners(pts: np.ndarray) -> np.ndarray:
+    """PCA-aligned 3D box corners (reference prepare_bbox3d's co3d/moped
+    branch, bbox_utils.py:139-160): rotate to principal axes, take the
+    axis-aligned box there, rotate back. NOTE: dead in the reference's
+    data pipeline — its only call site passes no ``dataset`` argument
+    (base.py:436) — but kept for API parity with the function itself."""
+    centroid = pts.mean(axis=0)
+    centered = pts - centroid
+    eigval, eigvec = np.linalg.eigh(np.cov(centered, rowvar=False))
+    eigvec = eigvec[:, np.argsort(eigval)[::-1]]
+    corners = bbox_corners_from_points(centered @ eigvec)
+    return corners @ eigvec.T + centroid
+
+
 def project_points_f32(K: np.ndarray, pose: np.ndarray, pts: np.ndarray) -> np.ndarray:
     """3D -> pixel projection replicating the reference's reproj_pytorch
     (camera_utils.py:9-59) bit-for-bit: every operand cast to float32, then

@@ -230,6 +230,42 @@ def make_moped_fixture(root: str, obj="toy", seqs=("00", "01"), n=5):
     return root
 
 
+def make_co3d_fixture(root: str, cat="mug", seq="194_1", n=5):
+    """CO3D-v2 layout (reference co3d.py:84-266): co3d_test/<cat>/<seq>/
+    {images/frameNNNNNN.jpg + .npz, masks/frameNNNNNN.png} selected by
+    selected_seqs_test.json ({cat: {seq: [frame indices]}}), plus raw
+    pointcloud.ply under co3d_test_raw. npz cameras store cam2world
+    'camera_pose' + 'camera_intrinsics'."""
+    import json
+
+    seq_dir = os.path.join(root, "co3d_test", cat, seq)
+    raw_dir = os.path.join(root, "co3d_test_raw", cat, seq)
+    os.makedirs(os.path.join(seq_dir, "images"), exist_ok=True)
+    os.makedirs(os.path.join(seq_dir, "masks"), exist_ok=True)
+    os.makedirs(raw_dir, exist_ok=True)
+    frames = list(range(n))
+    with open(os.path.join(root, "co3d_test", "selected_seqs_test.json"), "w") as f:
+        json.dump({cat: {seq: frames}}, f)
+    for i in frames:
+        w2c = look_at_pose(2 * np.pi * (i + 0.17) / n, 0.48)
+        pts2d = project(K_DEFAULT, w2c, cube_vertices())
+        box = [int(pts2d[:, 0].min()), int(pts2d[:, 1].min()),
+               int(pts2d[:, 0].max()), int(pts2d[:, 1].max())]
+        img = Image.new("RGB", (IMG_W, IMG_H), (22, 22, 34))
+        ImageDraw.Draw(img).rectangle(box, fill=(120, 90, 190))
+        img.save(os.path.join(seq_dir, "images", f"frame{i:06d}.jpg"), quality=92)
+        mask = Image.new("L", (IMG_W, IMG_H), 0)
+        ImageDraw.Draw(mask).rectangle(box, fill=255)
+        mask.save(os.path.join(seq_dir, "masks", f"frame{i:06d}.png"))
+        np.savez(
+            os.path.join(seq_dir, "images", f"frame{i:06d}.npz"),
+            camera_pose=np.linalg.inv(w2c),  # cam2world
+            camera_intrinsics=K_DEFAULT,
+        )
+    write_cube_ply(os.path.join(raw_dir, "pointcloud.ply"))
+    return root
+
+
 def make_linemod_fixture(root: str, cats=("cat",), n_train: int = 8, n_test: int = 3):
     """Create the fixture tree; returns the root path."""
     for cat in cats:

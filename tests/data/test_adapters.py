@@ -160,11 +160,11 @@ def make_co3d(root, n=4):
     for i in range(n):
         pose = look_at_pose(2 * np.pi * i / n)
         save_img(os.path.join(seq_dir, f"frame{i:06d}.jpg"), frame_box(pose))
-        # CO3D stores cam2world npz.
-        c2w = np.linalg.inv(pose)
+        # CO3D stores cam2world npz with the reference's key names
+        # (co3d.py:131-146).
         np.savez(
             os.path.join(seq_dir, f"frame{i:06d}.npz"),
-            R=c2w[:3, :3], T=c2w[:3, 3], K=K_DEFAULT,
+            camera_pose=np.linalg.inv(pose), camera_intrinsics=K_DEFAULT,
         )
     raw_dir = os.path.join(root, "co3d_test_raw", "mug", "seq0")
     os.makedirs(raw_dir, exist_ok=True)
