@@ -266,6 +266,65 @@ def make_co3d_fixture(root: str, cat="mug", seq="194_1", n=5):
     return root
 
 
+def make_objaverse_fixture(root: str, shard="000-000", obj="objA", rt="random", n=5):
+    """Reference Objaverse render layout (objaverse.py:300-360):
+    objaverse_render/_v0/<shard>/<obj>/<render_type>/renderings/*.png
+    (RGBA; alpha gives the 2D box) + one meta json with frames[i].w2c and
+    per-frame fx/fy/cx/cy, bbox_3d/<obj>.txt, an ok_glb_files.json model
+    manifest (glb paths need not exist — prepare_bbox3d then falls back to
+    the bbox txt), and the SUN2012 background index."""
+    import json
+
+    rt_dir = os.path.join(root, "objaverse_render", "_v0", shard, obj, rt)
+    os.makedirs(os.path.join(rt_dir, "renderings"), exist_ok=True)
+    os.makedirs(os.path.join(root, "bbox_3d"), exist_ok=True)
+    os.makedirs(os.path.join(root, "Objaverse", "Objaverse_glbs"), exist_ok=True)
+    corners = np.array(
+        [
+            [sx * CUBE_HALF, sy * CUBE_HALF, sz * CUBE_HALF]
+            for sz in (-1, 1)
+            for sy in (-1, 1)
+            for sx in (-1, 1)
+        ]
+    )
+    np.savetxt(os.path.join(root, "bbox_3d", f"{obj}.txt"), corners)
+    frames = []
+    for i in range(n):
+        w2c = look_at_pose(2 * np.pi * (i + 0.23) / n, 0.52)
+        pts2d = project(K_DEFAULT, w2c, cube_vertices())
+        box = [int(pts2d[:, 0].min()), int(pts2d[:, 1].min()),
+               int(pts2d[:, 0].max()), int(pts2d[:, 1].max())]
+        img = Image.new("RGBA", (IMG_W, IMG_H), (0, 0, 0, 0))
+        ImageDraw.Draw(img).rectangle(box, fill=(140, 200, 110, 255))
+        img.save(os.path.join(rt_dir, "renderings", f"{i:03d}.png"))
+        frames.append(
+            {
+                "w2c": w2c.tolist(),
+                "fx": float(K_DEFAULT[0, 0]), "fy": float(K_DEFAULT[1, 1]),
+                "cx": float(K_DEFAULT[0, 2]), "cy": float(K_DEFAULT[1, 2]),
+            }
+        )
+    with open(os.path.join(rt_dir, "meta.json"), "w") as f:
+        json.dump({"frames": frames}, f)
+    glb = os.path.join(root, "Objaverse", "Objaverse_glbs", shard, obj + ".glb")
+    with open(os.path.join(root, "ok_glb_files.json"), "w") as f:
+        json.dump({shard: [glb]}, f)
+    # SUN2012 background pool (reference loads the index unconditionally).
+    os.makedirs(os.path.join(root, "SUN2012pascalformat", "ImageSets", "Main"),
+                exist_ok=True)
+    os.makedirs(os.path.join(root, "SUN2012pascalformat", "JPEGImages"),
+                exist_ok=True)
+    for name in ("train.txt", "test.txt"):
+        with open(
+            os.path.join(root, "SUN2012pascalformat", "ImageSets", "Main", name), "w"
+        ) as f:
+            f.write("bg0\n")
+    Image.new("RGB", (64, 48), (90, 90, 90)).save(
+        os.path.join(root, "SUN2012pascalformat", "JPEGImages", "bg0.jpg")
+    )
+    return root
+
+
 def make_linemod_fixture(root: str, cats=("cat",), n_train: int = 8, n_test: int = 3):
     """Create the fixture tree; returns the root path."""
     for cat in cats:

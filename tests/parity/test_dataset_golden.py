@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "data"))
 from fixture import (  # noqa: E402
     make_co3d_fixture,
     make_linemod_fixture,
+    make_objaverse_fixture,
     make_lmo_fixture,
     make_moped_fixture,
     make_onepose_fixture,
@@ -407,6 +408,47 @@ def test_co3d_npz_conversion_interops(tmp_path):
         _t2n(ref_item["poses"]).astype(np.float64),
         atol=1e-5,
     )
+
+
+def test_objaverse_dataset_golden(tmp_path):
+    """Objaverse: the REAL reference ObjaverseBoxDreamerDataset (render-type
+    categories '<obj>_<render_type>', meta-json w2c poses + per-frame
+    intrinsics, RGBA alpha-mask boxes with inclusive max, bbox_3d txt
+    fallback when the glb is absent) vs our ObjaverseDataset.
+    Query index 1 avoids the random ref backfill (objaverse is not in the
+    reference's query-can-be-ref exemption list)."""
+    root = make_objaverse_fixture(str(tmp_path / "obja"))
+    ob = refshim.load("src.datasets.objaverse")
+    cfg = _Cfg(
+        base=_ref_base_config(),
+        root=root,
+        subdir_num=None,
+    )
+    ref_item = ob.ObjaverseBoxDreamerDataset(cfg, "test")[(1, None)]
+
+    ours_cfg = DatasetConfig(
+        image_size=224, length=LENGTH, sampling_strategy="uniform",
+        coordinate="object", precision="float32",
+    )
+    our_item = build_dataset("Objaverse", ours_cfg, "test", root=root).get_item(1)
+
+    assert [os.path.basename(p) for p in ref_item["original_images"]] == [
+        os.path.basename(p) for p in our_item["original_images"]
+    ]
+    for key, atol in [
+        ("images", 4.5e-3),
+        ("poses", 1e-5),
+        ("original_poses", 1e-6),
+        ("intrinsics", 1e-4),
+        ("non_ndc_intrinsics", 1e-3),
+        ("crop_parameters", 1e-4),
+        ("bbox_3d", 1e-6),
+        ("bbox_feat", 2e-3),
+    ]:
+        ref = _t2n(ref_item[key]).astype(np.float64)
+        ours = _t2n(our_item[key]).astype(np.float64)
+        assert ref.shape == ours.shape, f"{key}: {ref.shape} vs {ours.shape}"
+        np.testing.assert_allclose(ours, ref, atol=atol, err_msg=key)
 
 
 def test_pca_bbox3d_matches_reference(tmp_path):
