@@ -48,6 +48,7 @@ _REF_PACKAGES = [
     "src.models.modules.backbone",
     "src.models.modules.backbone.utils",
     "src.models.modules.encoder",
+    "src.models.modules.tracker",
     "src.models.sources",
     "src.models.sources.vggsfm",
     "src.models.sources.vggsfm.models",
@@ -746,7 +747,24 @@ def _install_misc():
         return mod
 
     _inert_module("imageio")
+    if "imageio.v3" not in sys.modules:
+        v3 = _inert_module("imageio.v3")
+        if "imageio" in sys.modules:
+            sys.modules["imageio"].v3 = sys.modules["imageio.v3"]
     _inert_module("lmdb")
+    # kornia: BoxDreamerModel.py:11 imports LoFTR at module scope; the
+    # matcher is only constructed when use_matching=True.
+    if "kornia" not in sys.modules:
+        kornia = types.ModuleType("kornia")
+        kfeat = types.ModuleType("kornia.feature")
+
+        class _LoFTR:
+            def __init__(self, *a, **k):
+                raise RuntimeError("kornia stub: LoFTR not available in tests")
+
+        kfeat.LoFTR = _LoFTR
+        kornia.feature = kfeat
+        sys.modules.update({"kornia": kornia, "kornia.feature": kfeat})
     _inert_module("natsort", natsorted=sorted)
     _inert_module("wis3d")
     _inert_module("wandb")
@@ -784,7 +802,7 @@ _installed = False
 _STUBBED_TOPLEVEL = {
     "timm", "torchvision", "pytorch3d", "loguru", "torchmetrics", "open3d",
     "plyfile", "trimesh", "omegaconf", "imageio", "natsort", "wis3d",
-    "wandb", "albumentations", "plotly", "lmdb",
+    "wandb", "albumentations", "plotly", "lmdb", "kornia",
 }
 
 
