@@ -196,6 +196,49 @@ def comparison_grid(
     return png
 
 
+_CURVE_STYLES = (
+    ("#7FB3B0", "o", "--"),
+    ("#B3927F", "s", "-"),
+    ("#A694C3", "x", "-."),
+    ("#8FA977", "^", ":"),
+)
+
+
+def metric_curves(
+    x_values,
+    series: Dict[str, "list"],
+    output: str,
+    xlabel: str = "Number of Reference Views $n$",
+    ylabel: str = "Succ Rate (%)",
+    title: str = "Sparse View Robustness",
+    figsize=(3.4, 2.5),
+) -> str:
+    """Column-width metric-vs-reference-count line plot (the parameterized
+    form of scripts/draw_plot_fig.py:1-97 — same palette, markers, ICCV
+    two-column sizing; the reference hardcodes its numbers)."""
+    plt = _academic_style(10)
+    fig, ax = plt.subplots(figsize=figsize, dpi=300)
+    for (name, ys), (color, marker, ls) in zip(series.items(), _CURVE_STYLES):
+        ax.plot(
+            x_values, ys, color=color, marker=marker, markersize=4,
+            linestyle=ls, linewidth=1, markeredgewidth=0.8,
+            markerfacecolor=color, label=name,
+        )
+    ax.set_xlim(min(x_values), max(x_values))
+    ax.set_xlabel(xlabel, fontsize=10)
+    ax.set_ylabel(ylabel, fontsize=10)
+    ax.set_title(title, fontsize=10)
+    ax.grid(True, linestyle="-", alpha=0.2)
+    ax.legend(loc="lower right", frameon=True, fontsize=8, framealpha=0.9)
+    ax.tick_params(axis="both", which="major", labelsize=8)
+    ax.spines["top"].set_visible(False)
+    ax.spines["right"].set_visible(False)
+    fig.tight_layout()
+    fig.savefig(output, dpi=300, bbox_inches="tight")
+    plt.close(fig)
+    return output
+
+
 def main(argv=None) -> int:
     import argparse
 
@@ -216,7 +259,23 @@ def main(argv=None) -> int:
     c.add_argument("--methods", nargs="+", default=["ours", "gen6d", "onepose"])
     c.add_argument("--output", default=None)
 
+    v = sub.add_parser("curves", help="metric-vs-reference-count line plot")
+    v.add_argument("spec", help="JSON: {x: [...], series: {name: [...]}, "
+                                "xlabel?, ylabel?, title?}")
+    v.add_argument("--output", default="metric_curves.png")
+
     a = p.parse_args(argv)
+    if a.cmd == "curves":
+        with open(a.spec) as f:
+            spec = json.load(f)
+        out = metric_curves(
+            spec["x"], spec["series"], a.output,
+            xlabel=spec.get("xlabel", "Number of Reference Views $n$"),
+            ylabel=spec.get("ylabel", "Succ Rate (%)"),
+            title=spec.get("title", "Sparse View Robustness"),
+        )
+        print(out)
+        return 0
     if a.cmd == "quad":
         paths, descs = a.images, a.descs
         if a.selection:

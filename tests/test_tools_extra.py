@@ -167,3 +167,23 @@ def test_wandb_sync_once(tmp_path, monkeypatch):
     )
     assert wandb_sync.main([str(tmp_path), "--once"]) == 0
     assert calls == [str(tmp_path)]
+
+
+def test_metric_curves_cli(tmp_path):
+    """draw_plot_fig.py parity: parameterized metric-vs-refcount plot."""
+    from boxdreamer_tpu.tools import figures
+
+    spec = tmp_path / "spec.json"
+    spec.write_text(
+        json.dumps(
+            {
+                "x": [2, 4, 6, 8],
+                "series": {"ADD-0.1d": [25.7, 37.6, 42.6, 50.4],
+                           "Proj2D@5px": [30.7, 51.7, 57.9, 68.1]},
+                "title": "Sparse View Robustness on LINEMOD",
+            }
+        )
+    )
+    out = str(tmp_path / "curves.png")
+    assert figures.main(["curves", str(spec), "--output", out]) == 0
+    assert os.path.getsize(out) > 1000
