@@ -168,6 +168,42 @@ def test_full_model_forward_golden(tmp_path, monkeypatch):
         ours_heat / scale, theirs_heat / scale, atol=2e-3
     )
 
+    # ---- training-loss composition: the reference Loss on the reference
+    # model's scattered pred_bbox vs our Loss on our scattered prediction
+    # (configs/model/loss/default.yaml: one masked smooth_l1 term).
+    loss_mod = refshim.load("src.loss.loss")
+    import types as _types
+
+    ref_loss = loss_mod.Loss(
+        _types.SimpleNamespace(
+            losses=[
+                _types.SimpleNamespace(
+                    type="smooth_l1", weight=[1.0, 0.0], pred_key="pred_bbox",
+                    gt_key="bbox_feat", mask_key="camera_mask",
+                )
+            ]
+        )
+    )
+    total_ref, _ = ref_loss(out)
+
+    from boxdreamer_tpu.training.loss import Loss as JLoss
+    from boxdreamer_tpu.training.loss import LossTerm
+    from boxdreamer_tpu.training.train_step import scatter_query_prediction
+    from boxdreamer_tpu.models.boxdreamer import camera_mask_from_query_idx
+
+    cmask = camera_mask_from_query_idx(jbatch["query_idx"], LENGTH)
+    data = {
+        "pred_bbox": scatter_query_prediction(
+            jbatch["bbox_feat"], ours["pred_bbox"], cmask
+        ),
+        "bbox_feat": jbatch["bbox_feat"],
+        "camera_mask": cmask,
+    }
+    total_ours, _ = JLoss([LossTerm(weight=(1.0, 0.0))])(data)
+    np.testing.assert_allclose(
+        float(total_ours), float(total_ref), rtol=2e-3
+    )
+
     # ---- decoded keypoints: run the REAL reference decode on its own
     # heatmaps (the layout prediction_utils.py:65-76 uses) and compare our
     # jitted decode output.
