@@ -62,18 +62,18 @@ def build(batch: int):
     return model, params, predictor._refs, K_intr, batch
 
 
-def stage_fn(model, params, refs, K_intr, batch, stage: str):
+def stage_fn(model, batch, stage: str):
     cfg = model.config
     B = batch
     T = N_REFS + 1
     camera_mask = jnp.zeros((B, T), dtype=bool).at[:, -1].set(True)
-    ref_fuse = refs["fuse"]
-    ref_bf = refs["bbox_feat"]
-    bbox_3d = refs["bbox_3d"]
-    c = ref_bf.shape[2]
-    S = ref_bf.shape[-1]
 
-    def fn(q_img):
+    def fn(params, refs, K_intr, q_img):
+        ref_fuse = refs["fuse"]
+        ref_bf = refs["bbox_feat"]
+        bbox_3d = refs["bbox_3d"]
+        c = ref_bf.shape[2]
+        S = ref_bf.shape[-1]
         q_tokens = encoder_apply(model, params, q_img)
         if stage == "enc":
             return jnp.sum(q_tokens.astype(jnp.float32))
@@ -99,12 +99,15 @@ def stage_fn(model, params, refs, K_intr, batch, stage: str):
     return fn
 
 
-def chain_time(fn, batch, k_steps, seed):
+def chain_time(fn, params, refs, K_intr, batch, k_steps, seed):
+    # params/refs are jit ARGUMENTS (a closure would bake them into the
+    # HLO as literals — the axon remote-compile endpoint rejects the
+    # resulting payload with HTTP 413).
     @jax.jit
-    def chained(q0):
+    def chained(params, refs, K_intr, q0):
         def body(carry, _):
             q, acc = carry
-            s = fn(q)
+            s = fn(params, refs, K_intr, q)
             # Data dependence: fold the scalar back into the image cheaply.
             return (q + s * 1e-20, acc + s), jnp.float32(0.0)
 
@@ -114,11 +117,11 @@ def chain_time(fn, batch, k_steps, seed):
         return acc
 
     q0 = jax.random.uniform(jax.random.PRNGKey(seed), (batch, 3, SIZE, SIZE))
-    out = jax.device_get(chained(q0))  # compile + warm
+    out = jax.device_get(chained(params, refs, K_intr, q0))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = jax.device_get(chained(q0))
+        out = jax.device_get(chained(params, refs, K_intr, q0))
         best = min(best, time.perf_counter() - t0)
     assert jnp.isfinite(out)
     return best
@@ -134,17 +137,17 @@ def main():
     )
     args = ap.parse_args()
 
-    parts = build(args.batch)
+    model, params, refs, K_intr, batch = build(args.batch)
     print(
         f"stage profile (batch {args.batch}, slope of {args.k}->"
         f"{2*args.k} chain steps):",
         flush=True,
     )
     for stage in args.stages.split(","):
-        fn = stage_fn(*parts, stage)
-        t1 = chain_time(fn, args.batch, args.k, 11)
+        fn = stage_fn(model, batch, stage)
+        t1 = chain_time(fn, params, refs, K_intr, batch, args.k, 11)
         print(f"  {stage:7s}: K-chain {t1*1e3:8.1f} ms", flush=True)
-        t2 = chain_time(fn, args.batch, 2 * args.k, 12)
+        t2 = chain_time(fn, params, refs, K_intr, batch, 2 * args.k, 12)
         ms = (t2 - t1) / args.k * 1e3
         print(
             f"  {stage:7s}: {ms:7.2f} ms/step "
