@@ -31,6 +31,38 @@ def gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+# Fast GELU for bf16 compute paths. XLA's exact-erf GELU costs ~40 VPU ops
+# per element (rational erf + erfc tail, both branches evaluated) and is the
+# single largest non-matmul cost in the BETR stack (+7 ms/step of 30 at the
+# flagship shape, measured via tools/attend_anatomy.py). This sigmoid form
+#     gelu(x) ~= x * sigmoid(b1*xc + b3*xc^3 + b5*xc^5),  xc = clip(x, +-6)
+# uses coefficients minimax-fitted against the EXACT erf GELU (not the
+# standard tanh approximation): max absolute deviation 2.6e-5 over all
+# reals — ~150x below bf16 resolution (eps 2^-8), and its bf16-ULP error
+# tail is indistinguishable from the f32-vs-f64 noise floor of the exact
+# computation itself. The sigmoid is computed with a single exp2 (TPU-native
+# transcendental), ~10 VPU ops total. Only used when the input is bf16;
+# f32 paths (golden parity tests, reference comparisons) keep exact erf.
+_GELU_C1 = -2.0 * 1.4426950408889634 * 0.797507884
+_GELU_C3 = -2.0 * 1.4426950408889634 * 0.0370056460
+_GELU_C5 = -2.0 * 1.4426950408889634 * -3.51516781e-04
+
+
+def gelu_bf16_fast(x):
+    xf = x.astype(jnp.float32)
+    xc = jnp.clip(xf, -6.0, 6.0)
+    x2 = xc * xc
+    u = xc * (_GELU_C1 + x2 * (_GELU_C3 + x2 * _GELU_C5))
+    return (xf / (1.0 + jnp.exp2(u))).astype(x.dtype)
+
+
+def gelu(x):
+    """Exact erf GELU in f32/f64; precision-matched fast GELU in bf16."""
+    if x.dtype == jnp.bfloat16:
+        return gelu_bf16_fast(x)
+    return gelu_exact(x)
+
+
 class RMSNorm(nn.Module):
     """Llama-style RMSNorm: x * rsqrt(mean(x^2) + eps) * weight, computed in
     float32 (reference LlamaRMSNorm semantics)."""
@@ -62,11 +94,26 @@ class Mlp(nn.Module):
         hidden = self.hidden_features or in_features
         out = self.out_features or in_features
         x = nn.Dense(hidden, use_bias=self.use_bias, dtype=self.dtype, name="fc1")(x)
-        x = gelu_exact(x)
+        x = gelu(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         x = nn.Dense(out, use_bias=self.use_bias, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
         return x
+
+
+class _RMSNormWeight(nn.Module):
+    """Declares the (features,) RMSNorm weight at this module's scope and
+    returns it — same param path/shape as :class:`RMSNorm`, so checkpoints
+    and the torch converter are unaffected when the norm itself is applied
+    elsewhere (fused into the attention kernel)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "weight", nn.initializers.ones, (self.features,), jnp.float32
+        )
 
 
 class Attention(nn.Module):
@@ -75,7 +122,9 @@ class Attention(nn.Module):
     Mirrors the reference Attention (blocks.py:208-302): fused qkv Linear
     (optional bias), optional RMSNorm on per-head q/k, softmax scale
     ``head_dim**-0.5``, output projection. Dispatches to the Pallas flash
-    kernel on TPU.
+    kernel on TPU; the qk-RMSNorm is applied inside
+    :func:`multi_head_attention` (fused into the Pallas kernel on the flash
+    path — saves two full HBM round-trips at the flagship shape).
     """
 
     num_heads: int
@@ -91,10 +140,15 @@ class Attention(nn.Module):
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)
         q, k, v = qkv[0], qkv[1], qkv[2]
+        norm_weights = None
         if self.qk_norm:
-            q = RMSNorm(name="q_norm")(q)
-            k = RMSNorm(name="k_norm")(k)
-        out = multi_head_attention(q, k, v, scale=head_dim**-0.5)
+            norm_weights = (
+                _RMSNormWeight(head_dim, name="q_norm")(),
+                _RMSNormWeight(head_dim, name="k_norm")(),
+            )
+        out = multi_head_attention(
+            q, k, v, scale=head_dim**-0.5, qk_norm_weights=norm_weights
+        )
         out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
         return nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="proj")(out)
 

@@ -74,8 +74,10 @@ LN_2 = 0.6931471805599453  # ln(2)
 
 
 def _flash_fwd_kernel(
-    q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-    *, n_valid: int, block_k: int, num_kb: int, masked: bool
+    *refs,
+    n_valid: int, block_k: int, num_kb: int, masked: bool,
+    qk_norm: bool = False, n_valid_d: int = 0, fold: float = 1.0,
+    qk_eps: float = 1e-6,
 ):
     """Grid (BH, num_q_blocks, num_kv_blocks), KV minor-most. Scratch carries
     the online-softmax state across KV steps; output written on the last.
@@ -87,7 +89,20 @@ def _flash_fwd_kernel(
     ``num_kb == 1`` the online-softmax carry (init/alpha/scratch round-trip)
     is compiled out entirely — at the flagship N=1536 these together cut the
     per-element VPU chain roughly in half (measured via tools/kernel_tune.py).
+
+    ``qk_norm`` fuses the per-head Llama-RMSNorm on q and k (reference
+    blocks.py:231-232) into the kernel: q and k arrive RAW, each row is
+    normalized over its first ``n_valid_d`` lanes in f32 (zero padding lanes
+    contribute nothing to the sum), the combined learnable weight
+    w2 = wq * wk rides lane-wise on k, and scale*log2(e) (``fold``) rides on
+    q post-norm. This removes the two full HBM round-trips the unfused XLA
+    RMSNorm pass costs (+3.1 ms/step of 30 at the flagship shape, measured
+    via tools/attend_anatomy.py); the in-kernel VPU work overlaps the MXU.
     """
+    if qk_norm:
+        q_ref, k_ref, v_ref, w2_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     j = pl.program_id(2)
     single = num_kb == 1
 
@@ -103,6 +118,19 @@ def _flash_fwd_kernel(
     q = q_ref[0]  # (BQ, D)
     kb = k_ref[0]  # (BK, D)
     vb = v_ref[0]
+    if qk_norm:
+        # Same math as models.layers.RMSNorm (f32, mean over the true head
+        # dim) with the softmax scale folded into q and w2 into k.
+        qf = q.astype(jnp.float32)
+        rq = jax.lax.rsqrt(
+            jnp.sum(qf * qf, axis=-1, keepdims=True) / n_valid_d + qk_eps
+        )
+        q = (qf * (rq * fold)).astype(q.dtype)
+        kf = kb.astype(jnp.float32)
+        rk = jax.lax.rsqrt(
+            jnp.sum(kf * kf, axis=-1, keepdims=True) / n_valid_d + qk_eps
+        )
+        kb = (kf * rk * w2_ref[:]).astype(kb.dtype)
     bq = q.shape[0]
 
     # q already carries scale * log2(e): s is in the base-2 domain.
@@ -160,6 +188,7 @@ def flash_attention(
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
     return_lse: bool = False,
+    qk_norm_weights=None,
 ):
     """Pallas flash attention forward (KV-streaming, VMEM-bounded).
 
@@ -169,6 +198,9 @@ def flash_attention(
         scale: softmax scale (typically D**-0.5 on the unpadded D).
         return_lse: also return the per-query logsumexp (B, H, Nq) in f32 —
            the combination state for ring/sharded attention.
+        qk_norm_weights: optional (wq, wk) pair of (D,) f32 RMSNorm weights.
+           When given, q and k must be RAW (pre-norm); the kernel applies
+           the per-head Llama-RMSNorm in-register (see _flash_fwd_kernel).
 
     Returns:
         (B, H, Nq, D) in the dtype of ``q`` (plus LSE when requested).
@@ -176,6 +208,7 @@ def flash_attention(
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
     out_dtype = q.dtype
+    qk_norm = qk_norm_weights is not None
 
     D_pad = _round_up(D, LANE)
     block_q = min(block_q, _round_up(Nq, LANE))
@@ -190,10 +223,39 @@ def flash_attention(
 
     # Fold scale and log2(e) into q once (O(N*D)) so the kernel's (N, N)
     # score tile needs no per-element scaling and can use exp2 directly.
-    qp = pad(q, Nq_pad) * jnp.asarray(scale * LOG2_E, out_dtype)
+    # With fused qk-norm the fold rides inside the kernel instead (the norm
+    # must see raw q; rsqrt-normalization is not scale-invariant at eps).
+    qp = pad(q, Nq_pad)
+    if not qk_norm:
+        qp = qp * jnp.asarray(scale * LOG2_E, out_dtype)
     kp = pad(k, Nk_pad)
     vp = pad(v, Nk_pad)
     num_kb = Nk_pad // block_k
+
+    inputs = [qp, kp, vp]
+    in_specs = [
+        pl.BlockSpec(
+            (1, block_q, D_pad), lambda b, i, j: (b, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, block_k, D_pad), lambda b, i, j: (b, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, block_k, D_pad), lambda b, i, j: (b, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if qk_norm:
+        wq, wk = qk_norm_weights
+        w2 = (wq.astype(jnp.float32) * wk.astype(jnp.float32)).reshape(1, D)
+        inputs.append(jnp.pad(w2, ((0, 0), (0, D_pad - D))))
+        in_specs.append(
+            pl.BlockSpec(
+                (1, D_pad), lambda b, i, j: (0, 0), memory_space=pltpu.VMEM
+            )
+        )
 
     grid = (B * H, Nq_pad // block_q, num_kb)
     out, lse = pl.pallas_call(
@@ -203,22 +265,12 @@ def flash_attention(
             block_k=block_k,
             num_kb=num_kb,
             masked=Nk != Nk_pad,
+            qk_norm=qk_norm,
+            n_valid_d=D,
+            fold=scale * LOG2_E,
         ),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, block_q, D_pad), lambda b, i, j: (b, i, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_k, D_pad), lambda b, i, j: (b, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, block_k, D_pad), lambda b, i, j: (b, j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec(
                 (1, block_q, D_pad), lambda b, i, j: (b, i, 0),
@@ -241,7 +293,7 @@ def flash_attention(
             pltpu.VMEM((block_q, D_pad), jnp.float32),  # output accumulator
         ],
         interpret=interpret,
-    )(qp, kp, vp)
+    )(*inputs)
     out = out[:, :Nq, :D].reshape(B, H, Nq, D)
     if return_lse:
         return out, lse[:, :Nq, 0].reshape(B, H, Nq)
@@ -528,6 +580,75 @@ def flash_attention_bwd_xla(q, k, v, out, lse, g, scale: float):
 FLASH_BWD_PALLAS_MIN_SEQ_LEN = 2048
 
 
+# ---------------------------------------------------------------------------
+# per-head RMSNorm (qk-norm) helpers — XLA twins of the kernel-fused math
+# ---------------------------------------------------------------------------
+
+QK_NORM_EPS = 1e-6  # reference LlamaRMSNorm default (blocks.py:231-232)
+
+
+def rms_norm(x: jax.Array, w: jax.Array, eps: float = QK_NORM_EPS) -> jax.Array:
+    """Llama-RMSNorm over the last axis in f32, output in x.dtype — the
+    same math models.layers.RMSNorm applies and _flash_fwd_kernel fuses."""
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps) * w).astype(x.dtype)
+
+
+def _rms_norm_bwd(x, w, dy, eps: float = QK_NORM_EPS):
+    """VJP of :func:`rms_norm` wrt (x, w), computed in f32.
+
+    y = w * x * r with r = rsqrt(mean(x^2) + eps):
+      dx = r * (w*dy) - r^3 * x * mean((w*dy) * x)
+      dw = sum over rows of dy * x * r
+    """
+    xf = x.astype(jnp.float32)
+    dyf = dy.astype(jnp.float32)
+    r = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    dyw = dyf * w
+    dx = r * dyw - (r**3) * xf * jnp.mean(dyw * xf, axis=-1, keepdims=True)
+    dw = jnp.sum(
+        (dyf * xf * r).reshape(-1, x.shape[-1]), axis=0, dtype=jnp.float32
+    )
+    return dx.astype(x.dtype), dw
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _flash_attention_qknorm_ad(q, k, v, wq, wk, scale, interpret=False):
+    """Flash attention with the per-head qk-RMSNorm fused into the forward
+    kernel; the backward recomputes the (cheap, O(N*D)) normalization in XLA
+    and reuses the plain flash backward on the normalized tensors."""
+    return flash_attention(
+        q, k, v, scale, interpret=interpret, qk_norm_weights=(wq, wk)
+    )
+
+
+def _flash_qknorm_fwd(q, k, v, wq, wk, scale, interpret=False):
+    out, lse = flash_attention(
+        q, k, v, scale, interpret=interpret, return_lse=True,
+        qk_norm_weights=(wq, wk),
+    )
+    return out, (q, k, v, wq, wk, out, lse)
+
+
+def _flash_qknorm_bwd(scale, interpret, residuals, g):
+    q, k, v, wq, wk, out, lse = residuals
+    qh = rms_norm(q, wq)
+    kh = rms_norm(k, wk)
+    if max(q.shape[2], k.shape[2]) < FLASH_BWD_PALLAS_MIN_SEQ_LEN:
+        dqh, dkh, dv = flash_attention_bwd_xla(qh, kh, v, out, lse, g, scale)
+    else:
+        dqh, dkh, dv = flash_attention_bwd(
+            qh, kh, v, out, lse, g, scale, interpret=interpret
+        )
+    dq, dwq = _rms_norm_bwd(q, wq, dqh)
+    dk, dwk = _rms_norm_bwd(k, wk, dkh)
+    return dq, dk, dv, dwq, dwk
+
+
+_flash_attention_qknorm_ad.defvjp(_flash_qknorm_fwd, _flash_qknorm_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _flash_attention_ad(q, k, v, scale, interpret=False):
     return flash_attention(q, k, v, scale, interpret=interpret)
@@ -585,23 +706,38 @@ def sequence_parallel_scope(mesh, axis: str = "data", min_len: int = 4096):
 
 
 def multi_head_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, scale: float
+    q: jax.Array, k: jax.Array, v: jax.Array, scale: float,
+    qk_norm_weights=None,
 ) -> jax.Array:
     """Backend dispatch: on TPU, XLA fused attention for short sequences and
     the Pallas flash kernel (Pallas forward + Pallas backward) beyond
     FLASH_MIN_SEQ_LEN; XLA reference elsewhere. Inside a
-    :func:`sequence_parallel_scope`, long sequences ride the ring instead."""
+    :func:`sequence_parallel_scope`, long sequences ride the ring instead.
+
+    ``qk_norm_weights=(wq, wk)`` applies the per-head Llama-RMSNorm to raw
+    q/k — fused into the Pallas forward on the flash path, as a plain XLA
+    pass on the others (numerically the same math either way)."""
     mesh = _SP_STATE["mesh"]
     if mesh is not None:
         n_tok = q.shape[-2]
         n_shards = mesh.shape[_SP_STATE["axis"]]
         if n_tok >= _SP_STATE["min_len"] and n_tok % n_shards == 0:
+            if qk_norm_weights is not None:
+                q = rms_norm(q, qk_norm_weights[0])
+                k = rms_norm(k, qk_norm_weights[1])
             return sequence_parallel_attention(
                 q, k, v, scale, mesh, axis=_SP_STATE["axis"]
             )
     platform = jax.default_backend()
     if platform == "tpu" and q.shape[-2] > FLASH_MIN_SEQ_LEN:
+        if qk_norm_weights is not None:
+            return _flash_attention_qknorm_ad(
+                q, k, v, qk_norm_weights[0], qk_norm_weights[1], scale, False
+            )
         return _flash_attention_ad(q, k, v, scale, False)
+    if qk_norm_weights is not None:
+        q = rms_norm(q, qk_norm_weights[0])
+        k = rms_norm(k, qk_norm_weights[1])
     return mha_reference(q, k, v, scale)
 
 

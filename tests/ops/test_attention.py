@@ -127,3 +127,88 @@ def test_flash_cross_attention_shapes():
     out = attention.flash_attention(q, k, v, 32**-0.5, interpret=True)
     ref = attention.mha_reference(q, k, v, 32**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# fused qk-RMSNorm
+# ---------------------------------------------------------------------------
+
+
+def _ref_qknorm_attention(q, k, v, wq, wk, scale):
+    return attention.mha_reference(
+        attention.rms_norm(q, wq), attention.rms_norm(k, wk), v, scale
+    )
+
+
+@pytest.mark.parametrize("N,D", [(256, 96), (300, 48)])
+def test_fused_qknorm_forward_matches_unfused(N, D):
+    """Kernel-fused per-head RMSNorm (raw q/k + weights into the kernel)
+    must equal normalize-in-XLA-then-flash, including at non-block-aligned
+    lengths and with non-trivial learnable weights."""
+    q, k, v = make_qkv(jax.random.PRNGKey(10), B=2, H=2, N=N, D=D)
+    q, k = q * 3.0, k * 0.25  # non-unit row norms so rsqrt matters
+    wq = jax.random.uniform(jax.random.PRNGKey(11), (D,), jnp.float32, 0.5, 1.5)
+    wk = jax.random.uniform(jax.random.PRNGKey(12), (D,), jnp.float32, 0.5, 1.5)
+    scale = D**-0.5
+    ref = _ref_qknorm_attention(q, k, v, wq, wk, scale)
+    out = attention.flash_attention(
+        q, k, v, scale, interpret=True, qk_norm_weights=(wq, wk)
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_fused_qknorm_lse_matches_reference():
+    q, k, v = make_qkv(jax.random.PRNGKey(13), B=1, H=2, N=256, D=64)
+    wq = jnp.linspace(0.5, 1.5, 64)
+    wk = jnp.linspace(1.5, 0.5, 64)
+    scale = 64**-0.5
+    _, lse = attention.flash_attention(
+        q, k, v, scale, interpret=True, return_lse=True, qk_norm_weights=(wq, wk)
+    )
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk",
+        attention.rms_norm(q, wq),
+        attention.rms_norm(k, wk),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    expected = jax.scipy.special.logsumexp(s, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(expected), atol=2e-5)
+
+
+@pytest.mark.parametrize("N,D", [(256, 96), (300, 48)])
+def test_fused_qknorm_grads_match_autodiff(N, D):
+    """The fused custom VJP (flash backward on normalized tensors chained
+    through the analytic RMSNorm VJP) must match jax.grad of the plain
+    XLA composition — for q, k, v AND the norm weights."""
+    q, k, v = make_qkv(jax.random.PRNGKey(14), B=1, H=2, N=N, D=D)
+    q, k = q * 2.0, k * 0.5
+    wq = jax.random.uniform(jax.random.PRNGKey(15), (D,), jnp.float32, 0.5, 1.5)
+    wk = jax.random.uniform(jax.random.PRNGKey(16), (D,), jnp.float32, 0.5, 1.5)
+    scale = D**-0.5
+    g = jax.random.normal(jax.random.PRNGKey(17), q.shape)
+
+    def ref_loss(q, k, v, wq, wk):
+        return (_ref_qknorm_attention(q, k, v, wq, wk, scale) * g).sum()
+
+    def fused_loss(q, k, v, wq, wk):
+        return (
+            attention._flash_attention_qknorm_ad(q, k, v, wq, wk, scale, True) * g
+        ).sum()
+
+    refs = jax.grad(ref_loss, argnums=(0, 1, 2, 3, 4))(q, k, v, wq, wk)
+    ours = jax.grad(fused_loss, argnums=(0, 1, 2, 3, 4))(q, k, v, wq, wk)
+    for r, o, name in zip(refs, ours, ["dq", "dk", "dv", "dwq", "dwk"]):
+        np.testing.assert_allclose(
+            np.asarray(o), np.asarray(r), atol=5e-4, err_msg=name
+        )
+
+
+def test_multi_head_attention_qknorm_dispatch_cpu():
+    q, k, v = make_qkv(jax.random.PRNGKey(18), N=128, D=32)
+    wq = jnp.ones((32,))
+    wk = jnp.ones((32,))
+    out = attention.multi_head_attention(
+        q, k, v, 32**-0.5, qk_norm_weights=(wq, wk)
+    )
+    ref = _ref_qknorm_attention(q, k, v, wq, wk, 32**-0.5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
