@@ -218,6 +218,15 @@ class BaseDataset:
             and self.dataset not in ("linemod", "ycbv", "linemodo", "onepose")
         ):
             ref_idxs = ref_idxs[ref_idxs != q_idx]
+            if ref_db_len - 1 < n_refs:
+                # Not enough distinct non-query frames to backfill from — an
+                # unbounded rejection loop here would hang the worker where
+                # __getitem__'s retry-on-exception cannot reach. Raise so the
+                # retry path skips to the next index instead.
+                raise ValueError(
+                    f"sequence {cat!r} has only {ref_db_len} frames; cannot "
+                    f"draw {n_refs} references distinct from the query"
+                )
             while len(ref_idxs) < n_refs:
                 new_idx = int(self._rng.integers(0, ref_db_len))
                 if new_idx != q_idx and new_idx not in ref_idxs:

@@ -676,7 +676,7 @@ def flash_attention_ad(q, k, v, scale, interpret=False):
 
 # Dispatch crossover, measured honestly on v5e (chained lax.scan slope,
 # tools/kernel_tune.py): at N=1536/B=8/H=8/D=96 the single-pass exp2 flash
-# kernel (whole-sequence q block, MXU ones-lane denominator) runs 0.49 ms vs
+# kernel (whole-sequence q block, exp2/scale folding) runs 0.49 ms vs
 # XLA einsum+softmax 1.75 ms (HBM-bound on the f32 (N, N) materialization);
 # at DINOv2's N=261 XLA wins (grid overhead dominates).
 FLASH_MIN_SEQ_LEN = 1024
@@ -721,7 +721,14 @@ def multi_head_attention(
     if mesh is not None:
         n_tok = q.shape[-2]
         n_shards = mesh.shape[_SP_STATE["axis"]]
-        if n_tok >= _SP_STATE["min_len"] and n_tok % n_shards == 0:
+        if (
+            n_tok >= _SP_STATE["min_len"]
+            and n_tok % n_shards == 0
+            # Ring attention is self-attention only: k/v must shard the same
+            # token axis as q. A cross-attention call inside the scope falls
+            # through to the regular backends.
+            and q.shape == k.shape
+        ):
             if qk_norm_weights is not None:
                 q = rms_norm(q, qk_norm_weights[0])
                 k = rms_norm(k, qk_norm_weights[1])
