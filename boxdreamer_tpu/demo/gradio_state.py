@@ -76,9 +76,10 @@ def load_video(path: str, state: Dict, which: str = "mode1") -> Dict:
         side["frames"] = load_frames(path)
     elif os.path.splitext(path)[1].lower() == ".avi":
         # MJPEG-AVI decodes natively (utils/video.py) — no ffmpeg needed.
-        from boxdreamer_tpu.utils.video import video_to_frames
+        from boxdreamer_tpu.utils.video import (make_temp_frames_dir,
+                                                video_to_frames)
 
-        tmp = tempfile.mkdtemp(prefix="gradio_video_")
+        tmp = make_temp_frames_dir(prefix="gradio_video_")
         video_to_frames(path, tmp)
         side["frames"] = load_frames(tmp)
     elif os.path.splitext(path)[1].lower() in (".mp4", ".mov", ".webm"):
@@ -90,7 +91,9 @@ def load_video(path: str, state: Dict, which: str = "mode1") -> Dict:
                 "pass an MJPEG .avi or a directory of frames instead"
             )
             return state
-        tmp = tempfile.mkdtemp(prefix="gradio_video_")
+        from boxdreamer_tpu.utils.video import make_temp_frames_dir
+
+        tmp = make_temp_frames_dir(prefix="gradio_video_")
         for i, frame in enumerate(iio.imiter(path)):
             Image.fromarray(frame).save(os.path.join(tmp, f"{i:05d}.png"))
         side["frames"] = load_frames(tmp)

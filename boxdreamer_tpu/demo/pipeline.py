@@ -63,11 +63,10 @@ def load_frames(path: str, stride: int = 1) -> List[str]:
         )
         return files[::stride]
     if path.lower().endswith(".avi"):
-        import tempfile
+        from boxdreamer_tpu.utils.video import (make_temp_frames_dir,
+                                                video_to_frames)
 
-        from boxdreamer_tpu.utils.video import video_to_frames
-
-        tmp = tempfile.mkdtemp(prefix="demo_video_")
+        tmp = make_temp_frames_dir(prefix="demo_video_")
         video_to_frames(path, tmp, stride=stride)
         return sorted(glob.glob(os.path.join(tmp, "*.png")))
     raise SystemExit(
@@ -237,4 +236,11 @@ class DemoPipeline:
             out_avi = os.path.join(output_dir, "tracked.avi")
             write_video(out_avi, overlays, fps=cfg.video_fps)
             INFO(f"wrote overlay video {out_avi}")
+            # mp4 export when an ffmpeg binary exists (reference
+            # demo.py:1630-1650 writes mp4 directly via cv2.VideoWriter).
+            from boxdreamer_tpu.utils.video import (convert_to_mp4,
+                                                    ffmpeg_available)
+
+            if ffmpeg_available():
+                INFO(f"wrote mp4 {convert_to_mp4(out_avi)}")
         return {"poses": [r["pose"] for r in results], "bbox_3d": bbox_3d}

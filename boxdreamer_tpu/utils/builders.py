@@ -85,6 +85,7 @@ def build_logger(cfg: ConfigNode):
         use_tensorboard="tensorboard" in in_use,
         use_wandb="wandb" in in_use,
         wandb_project=lg.get("wandb", {}).get("project"),
+        use_csv="csv" in in_use,
     )
 
 

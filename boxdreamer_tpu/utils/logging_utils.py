@@ -5,8 +5,9 @@ Equivalent of the reference LoggingUtils
 dict flattening, image logging, and the safe_operation decorator that
 catches exceptions in epoch-end hooks, logs the traceback, and (on
 multi-process runs) still hits the barrier so other hosts don't hang.
-Backends: JSONL file (always), TensorBoard via flax.metric_writers when
-available, wandb when installed and enabled.
+Backends: JSONL file (always), CSV (Lightning CSVLogger-style metrics.csv,
+reference configs/logger/default.yaml csv option), TensorBoard via
+flax.metric_writers when available, wandb when installed and enabled.
 """
 
 from __future__ import annotations
@@ -37,8 +38,33 @@ def flatten_metrics(tree: Dict, prefix: str = "") -> Dict[str, float]:
     return out
 
 
+class CSVWriter:
+    """Lightning-CSVLogger-style metrics.csv: one row per log call, header
+    is the union of keys seen so far (file rewritten when new keys appear,
+    matching lightning.fabric CSVLogger semantics)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fields = ["step", "time"]
+        self._rows: list = []
+
+    def append(self, rec: Dict[str, Any]):
+        new = [k for k in rec if k not in self._fields]
+        self._fields.extend(new)
+        self._rows.append(rec)
+        self._flush()
+
+    def _flush(self):
+        import csv
+
+        with open(self.path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=self._fields)
+            w.writeheader()
+            w.writerows(self._rows)
+
+
 class ExperimentLogger:
-    """JSONL metric logger with optional TensorBoard/wandb backends."""
+    """JSONL metric logger with optional CSV/TensorBoard/wandb backends."""
 
     def __init__(
         self,
@@ -46,10 +72,14 @@ class ExperimentLogger:
         use_tensorboard: bool = False,
         use_wandb: bool = False,
         wandb_project: Optional[str] = None,
+        use_csv: bool = False,
     ):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._csv = (
+            CSVWriter(os.path.join(log_dir, "metrics.csv")) if use_csv else None
+        )
         self._tb = None
         self._wandb = None
         if use_tensorboard:
@@ -73,6 +103,8 @@ class ExperimentLogger:
         rec = {"step": step, "time": time.time(), **flat}
         self._jsonl.write(json.dumps(rec) + "\n")
         self._jsonl.flush()
+        if self._csv is not None:
+            self._csv.append(rec)
         if self._tb is not None:
             for k, v in flat.items():
                 self._tb.scalar(k, v, step)

@@ -304,6 +304,72 @@ def video_to_frames(video_path: str, out_dir: str, stride: int = 1,
     return n
 
 
+# ---------------------------------------------------------------------------
+# ffmpeg-gated mp4 export (reference demo.py:1630-1650 writes an mp4 via
+# cv2.VideoWriter; here MJPEG-AVI is the native format and mp4 is a
+# conversion step available only when an ffmpeg binary exists on the host)
+# ---------------------------------------------------------------------------
+
+
+def ffmpeg_available() -> bool:
+    import shutil
+
+    return shutil.which("ffmpeg") is not None
+
+
+def convert_to_mp4(avi_path: str, mp4_path: Optional[str] = None,
+                   crf: int = 20) -> str:
+    """Convert an MJPEG-AVI to H.264 mp4 by shelling out to ffmpeg.
+
+    Raises RuntimeError when no ffmpeg binary is on PATH (this image has
+    none) — callers should gate on :func:`ffmpeg_available`.
+    """
+    import subprocess
+
+    if mp4_path is None:
+        mp4_path = os.path.splitext(avi_path)[0] + ".mp4"
+    if not ffmpeg_available():
+        raise RuntimeError(
+            "mp4 export needs an ffmpeg binary on PATH; the MJPEG .avi at "
+            f"{avi_path} is already playable as-is"
+        )
+    subprocess.run(
+        ["ffmpeg", "-y", "-loglevel", "error", "-i", avi_path,
+         "-c:v", "libx264", "-pix_fmt", "yuv420p", "-crf", str(crf), mp4_path],
+        check=True,
+    )
+    return mp4_path
+
+
+# ---------------------------------------------------------------------------
+# tracked temp frame dirs: video decode paths extract frames to disk; track
+# the dirs so demo/gradio runs can clean up instead of leaking PNGs
+# ---------------------------------------------------------------------------
+
+_TEMP_FRAME_DIRS: List[str] = []
+
+
+def make_temp_frames_dir(prefix: str = "frames_") -> str:
+    """mkdtemp that is registered for cleanup_temp_frame_dirs() and removed
+    at interpreter exit as a backstop."""
+    import atexit
+    import tempfile
+
+    if not _TEMP_FRAME_DIRS:
+        atexit.register(cleanup_temp_frame_dirs)
+    d = tempfile.mkdtemp(prefix=prefix)
+    _TEMP_FRAME_DIRS.append(d)
+    return d
+
+
+def cleanup_temp_frame_dirs() -> None:
+    import shutil
+
+    while _TEMP_FRAME_DIRS:
+        d = _TEMP_FRAME_DIRS.pop()
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def load_frames_any(path: str, max_frames: Optional[int] = None) -> List[np.ndarray]:
     """Demo-facing loader: a frames directory, a single image, or an
     MJPEG-AVI (reference demo load_video semantics, src/demo/utils.py)."""

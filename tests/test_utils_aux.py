@@ -112,6 +112,46 @@ def test_experiment_logger(tmp_path):
     assert any(f.endswith("_1.png") for f in os.listdir(tmp_path))
 
 
+def test_experiment_logger_csv(tmp_path):
+    lg = ExperimentLogger(str(tmp_path), use_csv=True)
+    lg.log_metrics({"loss": 0.5}, step=1)
+    lg.log_metrics({"loss": 0.25, "acc": 0.9}, step=2)  # header grows
+    lg.close()
+    import csv
+
+    rows = list(csv.DictReader(open(tmp_path / "metrics.csv")))
+    assert len(rows) == 2
+    assert rows[0]["loss"] == "0.5" and rows[0]["acc"] == ""
+    assert rows[1]["acc"] == "0.9" and rows[1]["step"] == "2"
+
+
+def test_temp_frames_dirs_cleanup(tmp_path):
+    from boxdreamer_tpu.utils import video as v
+
+    d1 = v.make_temp_frames_dir(prefix="t_")
+    d2 = v.make_temp_frames_dir(prefix="t_")
+    assert os.path.isdir(d1) and os.path.isdir(d2)
+    v.cleanup_temp_frame_dirs()
+    assert not os.path.exists(d1) and not os.path.exists(d2)
+    v.cleanup_temp_frame_dirs()  # idempotent
+
+
+def test_convert_to_mp4_gated(tmp_path):
+    from boxdreamer_tpu.utils.video import (convert_to_mp4, ffmpeg_available,
+                                            write_video)
+
+    avi = str(tmp_path / "x.avi")
+    write_video(avi, [np.zeros((16, 16, 3), np.uint8)] * 3, fps=5)
+    if ffmpeg_available():
+        out = convert_to_mp4(avi)
+        assert os.path.getsize(out) > 0
+    else:
+        import pytest
+
+        with pytest.raises(RuntimeError, match="ffmpeg"):
+            convert_to_mp4(avi)
+
+
 def test_safe_operation_catches():
     calls = []
 
