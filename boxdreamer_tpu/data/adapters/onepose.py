@@ -64,6 +64,21 @@ class OnePoseDataset(BaseDataset):
             getattr(self, table).setdefault(split, {})
         self.bbox_3d_paths.setdefault(split, {})
 
+        # Auto-attach a packed image store at the split root when one exists:
+        # a framework data.boxpack or a reference-produced data.lmdb
+        # (reference onepose.py:217-229 opens data.lmdb the same way).
+        try:
+            from boxdreamer_tpu.data.lmdb_reader import open_image_store
+
+            store = open_image_store(root)
+            if store is not None:
+                self.attach_pack(store, root)
+        except Exception as e:  # noqa: BLE001 — mirror the reference's
+            # "log and fall back to the filesystem" behavior (onepose.py:228)
+            from boxdreamer_tpu.utils.log import ERROR
+
+            ERROR(f"failed to open packed image store under {root}: {e}")
+
         for obj in sorted(os.listdir(root)):
             obj_dir = os.path.join(root, obj)
             if not os.path.isdir(obj_dir):

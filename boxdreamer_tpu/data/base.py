@@ -123,6 +123,10 @@ class BaseDataset:
 
             rel = os.path.relpath(path, self._pack_root)
             blob = pack.get(rel)
+            if blob is None:
+                # Reference-produced LMDB dumps key records by ABSOLUTE path
+                # (lmdb_dump.py: str(Path(file).absolute())).
+                blob = pack.get(path)
             if blob is not None:
                 return Image.open(_io.BytesIO(blob)).convert("RGB")
         return Image.open(path).convert("RGB")
