@@ -42,7 +42,11 @@ class DenseConfig:
     fine_topk: int = 5
     dense_mem_friendly: bool = False  # lax.map over sub-batches (less VMEM)
     ransac_threshold: float = 2.0
-    ransac_hypotheses: int = 128
+    # 256 hypotheses: with whole-proposal outlier rates up to 50%, the
+    # chance that zero 6-point subsets are clean is (1-0.5^6)^256 ~= 2%,
+    # matching cv2.solvePnPRansac(iterationsCount=1000) success rates on the
+    # dense-fidelity golden (tests/parity/test_ransac_golden.py).
+    ransac_hypotheses: int = 256
     # Sequence parallelism for very large reference DBs (SURVEY.md §2.5):
     # shard the (T*P)-token decoder sequence over a mesh axis and run ring
     # attention (ops/attention.sequence_parallel_attention). Only engages for
@@ -339,6 +343,7 @@ def dense_predict(
         threshold=dense_cfg.ransac_threshold,
         num_hypotheses=dense_cfg.ransac_hypotheses,
         iters=cfg.pnp_iters,
+        group_size=8,  # S proposals x 8 distinct corners
     )
 
     if dense_cfg.fine_level:

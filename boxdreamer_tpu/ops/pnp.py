@@ -234,25 +234,33 @@ def _solve_pnp_ransac_single(
     best = jnp.argmax(scores)
     R_best, t_best = Rs[best], ts[best]
     inlier_w = inls[best]
-    # Final refinement on the inlier set (all points if too few inliers).
+    # LO-RANSAC: refine on the inlier set (all points if too few inliers),
+    # re-classify inliers with the refined pose, refine again. The second
+    # round recovers points the minimal-subset pose put just past the
+    # threshold (cv2's internal refinement loop behaves similarly).
     inlier_w = jnp.where(inlier_w.sum() >= 6, inlier_w, jnp.ones_like(inlier_w))
     R, t = _gn_refine(R_best, t_best, pts_3d, pts_2d, K, inlier_w, iters)
+    errs = _reprojection_errors(R, t, pts_3d, pts_2d, K)
+    inlier_w2 = (errs < threshold).astype(jnp.float32)
+    inlier_w2 = jnp.where(inlier_w2.sum() >= 6, inlier_w2, inlier_w)
+    R, t = _gn_refine(R, t, pts_3d, pts_2d, K, inlier_w2, iters)
     pose = jnp.eye(4, dtype=pts_3d.dtype)
     pose = pose.at[:3, :3].set(R)
     pose = pose.at[:3, 3].set(t)
     return pose
 
 
-@partial(jax.jit, static_argnames=("num_hypotheses", "iters"))
+@partial(jax.jit, static_argnames=("num_hypotheses", "iters", "group_size"))
 @highp
 def solve_pnp_ransac(
     pts_3d: jax.Array,
     pts_2d: jax.Array,
     K: jax.Array,
     threshold: float = 2.0,
-    num_hypotheses: int = 64,
+    num_hypotheses: int = 256,
     iters: int = GN_ITERS_DEFAULT,
     key: jax.Array | None = None,
+    group_size: int | None = None,
 ) -> jax.Array:
     """Fixed-iteration batched RANSAC-PnP, equivalent of the reference's
     ``cv2.solvePnPRansac`` dense path (src/models/utils/box_utils.py:266-285),
@@ -263,6 +271,13 @@ def solve_pnp_ransac(
         threshold: inlier reprojection-error threshold in pixels.
         num_hypotheses: number of minimal-subset hypotheses evaluated.
         key: PRNG key for subset sampling (deterministic default).
+        group_size: when the points are G distinct 3D positions tiled
+            S times (dense mode pools S proposals x 8 box corners, so point
+            i's 3D position is class ``i % group_size``), pass G: subsets
+            then draw 6 DISTINCT classes (random proposal each), so every
+            hypothesis is a non-degenerate DLT problem. Uniform sampling
+            over tiled corners picks 6 distinct classes only ~8% of the
+            time, wasting most hypotheses on rank-deficient subsets.
 
     Returns:
         (..., 4, 4) world->camera poses.
@@ -276,9 +291,22 @@ def solve_pnp_ransac(
     # Shared subsets across batch items: (num_hypotheses, 6) indices.
     subset_size = min(6, N)
     keys = jax.random.split(key, num_hypotheses)
-    subsets = jax.vmap(
-        lambda k: jax.random.choice(k, N, shape=(subset_size,), replace=False)
-    )(keys)
+    if group_size is not None and group_size >= subset_size and N % group_size == 0:
+        n_groups = N // group_size
+
+        def sample(k):
+            k1, k2 = jax.random.split(k)
+            classes = jax.random.choice(
+                k1, group_size, shape=(subset_size,), replace=False
+            )
+            props = jax.random.randint(k2, (subset_size,), 0, n_groups)
+            return props * group_size + classes
+
+        subsets = jax.vmap(sample)(keys)
+    else:
+        subsets = jax.vmap(
+            lambda k: jax.random.choice(k, N, shape=(subset_size,), replace=False)
+        )(keys)
 
     lead = pts_3d.shape[:-2]
     f = _solve_pnp_ransac_single
