@@ -128,6 +128,9 @@ class DataLoader:
         drop_last: bool = False,
         seed: int = 0,
         prefetch: int = 2,
+        shard_across_processes: bool = False,
+        process_index: Optional[int] = None,
+        process_count: Optional[int] = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -136,9 +139,32 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self._rng = np.random.default_rng(seed)
+        # Multi-host data sharding (the DistributedSampler-equivalent the
+        # reference gets from Lightning DDP): each process iterates samples
+        # process_index::process_count so a pod doesn't re-read the full
+        # dataset on every host. Shuffling stays consistent across processes
+        # (same seed -> same global order -> disjoint strides).
+        self.shard_across_processes = shard_across_processes
+        if shard_across_processes:
+            import jax
+
+            self._proc = (
+                jax.process_index() if process_index is None else process_index
+            )
+            self._nproc = (
+                jax.process_count() if process_count is None else process_count
+            )
+        else:
+            self._proc, self._nproc = 0, 1
+
+    def _local_len(self) -> int:
+        n = len(self.dataset)
+        if self._nproc > 1:
+            n = (n - self._proc + self._nproc - 1) // self._nproc
+        return n
 
     def __len__(self):
-        n = len(self.dataset)
+        n = self._local_len()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -147,6 +173,8 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self._rng.shuffle(order)
+        if self._nproc > 1:
+            order = order[self._proc :: self._nproc]
         batches = [
             order[i : i + self.batch_size].tolist()
             for i in range(0, len(order), self.batch_size)

@@ -58,10 +58,15 @@ class Evaluator:
         num_workers: int = 2,
         dense_cfg=None,  # DenseConfig; dense-reference eval when .enable
         mesh=None,  # jax.sharding.Mesh: shard eval batches over 'data'
+        distributed: Optional[bool] = None,  # multi-host: shard data by
+        # process + gather metrics; default auto (process_count > 1)
     ):
         self.model = model
         self.params = params
         self.mesh = mesh
+        self.distributed = (
+            jax.process_count() > 1 if distributed is None else distributed
+        )
         self._batch_sharding = None
         if mesh is not None:
             from boxdreamer_tpu.parallel import mesh as mesh_lib
@@ -106,6 +111,10 @@ class Evaluator:
             batch_size=self.batch_size,
             shuffle=False,
             num_workers=self.num_workers,
+            # Multi-host: each process evaluates its sample stride; the
+            # epoch-end gather below merges (reference DDP sampler +
+            # on_test_epoch_end gather, BoxDreamer_lightning_model.py:248-289).
+            shard_across_processes=self.distributed,
         )
         for batch in loader:
             padded, n_valid = _pad_batch(batch, self.batch_size)
@@ -158,6 +167,14 @@ class Evaluator:
                     ),
                     cat=cat,
                 )
+        if self.distributed:
+            from boxdreamer_tpu.parallel import comm
+
+            # Barrier + merge: every process ends with the global metric
+            # lists (reference dist.barrier + gather at
+            # BoxDreamer_lightning_model.py:164-217, 248-289).
+            comm.synchronize()
+            metrics = comm.gather_metrics(metrics)
         return metrics
 
     def run(
@@ -167,6 +184,10 @@ class Evaluator:
     ) -> Dict:
         """Evaluate all datasets; returns (and optionally writes) the merged
         aggregate dict keyed like the reference's test_metrics.json."""
+        from boxdreamer_tpu.parallel.comm import is_main_process
+
+        if not is_main_process():
+            output_json = None  # rank 0 writes files; metrics still gather
         agg: Dict = {}
         for i, ds in enumerate(datasets):
             m = self.run_dataset(ds, dataloader_id=i)

@@ -10,9 +10,11 @@ SIGINT/SIGTERM), and gradient accumulation via optax.MultiSteps (reference
 accumulate_grad_batches).
 
 Multi-chip: batch shards over the mesh's 'data' axis, weights optionally
-over 'model' (tensor parallel); metric aggregation is host-side list
-merging (single-process) — multihost all-gather hooks live in
-boxdreamer_tpu.parallel.
+over 'model' (tensor parallel). Multi-host: validation losses and the pose
+metric suite gather across processes (parallel/comm.py fixed-shape
+collectives), so monitor-best checkpointing decides on GLOBAL metrics —
+matching the reference's dist.barrier + rank-0 gather
+(BoxDreamer_lightning_model.py:164-217).
 """
 
 from __future__ import annotations
@@ -276,7 +278,12 @@ class Trainer:
         eval_step = self._val_eval_step
         losses = []
         for ds in val_datasets:
-            loader = DataLoader(ds, batch_size=self.cfg.batch_size, shuffle=False)
+            loader = DataLoader(
+                ds,
+                batch_size=self.cfg.batch_size,
+                shuffle=False,
+                shard_across_processes=jax.process_count() > 1,
+            )
             for batch in loader:
                 keys = (
                     "images", "bbox_feat", "query_idx", "bbox_3d",
@@ -285,6 +292,12 @@ class Trainer:
                 device_batch = {k: jnp.asarray(batch[k]) for k in keys}
                 _, m = eval_step(self.state.params, device_batch)
                 losses.append(float(m["val_loss"]))
+        if jax.process_count() > 1:
+            from boxdreamer_tpu.parallel import comm
+
+            losses = comm.all_gather_metric_lists({"val_loss": losses})[
+                "val_loss"
+            ]
         out = {"val_loss": float(np.mean(losses))} if losses else {}
 
         if self.cfg.val_pose_metrics:

