@@ -93,6 +93,16 @@ def main():
         Predictor,
         predict_query,
     )
+    from boxdreamer_tpu.tools import chip_check
+
+    # Kernel regression gate: every Pallas variant must COMPILE on this
+    # chip before any number is reported (CI runs interpret-mode only,
+    # which does not enforce TPU tiling rules). ~15 s, cached afterwards.
+    print("chip_check preamble...", file=sys.stderr, flush=True)
+    if chip_check.run():
+        print("ERROR: kernel variant failed to compile; refusing to bench.",
+              file=sys.stderr)
+        sys.exit(1)
 
     model = BoxDreamer(BoxDreamerConfig())
     ks = jax.random.split(jax.random.PRNGKey(0), 8)

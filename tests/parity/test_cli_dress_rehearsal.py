@@ -73,13 +73,23 @@ def ref_results(fixture_root, ref_model):
     )
     ds = lm.LINEMOD_BoxDreamer(ds_cfg, "test")
 
-    class MCfg:
-        t_scale = "m"
-        pose_thresholds = [1, 3, 5, 10, 15, 20, 30]
-        metrics_list = ["pose_error", "ADD", "proj2d"]
-
-    handler = mod.Metrics(MCfg())
-    n = ds.get_dataset_length()
+    # The exact reference schema (configs/model/metrics/default.yaml).
+    mcfg = _Cfg(
+        metrics_list=["pose_error", "ADD", "proj2d"],
+        point_cloud_rescale=1,
+        t_scale="m",
+        pose_error=_Cfg(
+            pnp_reprojection_error=5,
+            pose_thresholds=[1, 3, 5, 10, 15, 20, 30],
+            use_pycolmap_ransac=False,
+            use_obj_mask=True,
+            use_conf_mask=False,
+            top_k=2000,
+        ),
+        proj2d=_Cfg(proj2d_thres=5),
+    )
+    handler = mod.Metrics(mcfg)
+    n = len(ds)
     for start in range(0, n, 2):
         items = [ds[(i, None)] for i in range(start, min(start + 2, n))]
         batch = default_collate(items)
