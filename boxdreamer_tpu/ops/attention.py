@@ -77,7 +77,7 @@ def _flash_fwd_kernel(
     *refs,
     n_valid: int, block_k: int, num_kb: int, masked: bool,
     qk_norm: bool = False, n_valid_d: int = 0, fold: float = 1.0,
-    qk_eps: float = 1e-6,
+    qk_eps: float = 1e-6, with_lse: bool = True, fold_q: bool = False,
 ):
     """Grid (BH, num_q_blocks, num_kv_blocks), KV minor-most. Scratch carries
     the online-softmax state across KV steps; output written on the last.
@@ -99,10 +99,15 @@ def _flash_fwd_kernel(
     RMSNorm pass costs (+3.1 ms/step of 30 at the flagship shape, measured
     via tools/attend_anatomy.py); the in-kernel VPU work overlaps the MXU.
     """
-    if qk_norm:
-        q_ref, k_ref, v_ref, w2_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    w2_ref = refs[3] if qk_norm else None
+    rest = refs[4:] if qk_norm else refs[3:]
+    if with_lse:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = rest
     else:
-        q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+        o_ref, m_scr, l_scr, acc_scr = rest
+        lse_ref = None
     j = pl.program_id(2)
     single = num_kb == 1
 
@@ -131,6 +136,11 @@ def _flash_fwd_kernel(
             jnp.sum(kf * kf, axis=-1, keepdims=True) / n_valid_d + qk_eps
         )
         kb = (kf * rk * w2_ref[:]).astype(kb.dtype)
+    elif fold_q:
+        # Packed layout: q could not be pre-scaled in HBM (it shares the
+        # buffer with k/v), so the scale*log2(e) fold rides here — one VPU
+        # multiply on a (BQ, D) tile, amortized over the (BQ, BK) matmul.
+        q = (q.astype(jnp.float32) * fold).astype(q.dtype)
     bq = q.shape[0]
 
     # q already carries scale * log2(e): s is in the base-2 domain.
@@ -152,7 +162,8 @@ def _flash_fwd_kernel(
         )
         l = jnp.maximum(l_new, 1e-30)
         o_ref[0] = (acc_new / l).astype(o_ref.dtype)
-        lse_ref[0] = (m_new * LN_2 + jnp.log(l)).astype(jnp.float32)
+        if with_lse:
+            lse_ref[0] = (m_new * LN_2 + jnp.log(l)).astype(jnp.float32)
         return
 
     m_prev = m_scr[:, :1]
@@ -172,7 +183,8 @@ def _flash_fwd_kernel(
     def _emit():
         l = jnp.maximum(l_scr[:, :1], 1e-30)
         o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
-        lse_ref[0] = (m_scr[:, :1] * LN_2 + jnp.log(l)).astype(jnp.float32)
+        if with_lse:
+            lse_ref[0] = (m_scr[:, :1] * LN_2 + jnp.log(l)).astype(jnp.float32)
 
 
 @functools.partial(
@@ -298,6 +310,154 @@ def flash_attention(
     if return_lse:
         return out, lse[:, :Nq, 0].reshape(B, H, Nq)
     return out
+
+
+def flash_attention_packed(
+    qkv: jax.Array,
+    n_heads: int,
+    head_dim: int,
+    scale: float,
+    qk_norm_weights=None,
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+    interpret: bool = False,
+):
+    """Flash attention over the PACKED, lane-padded QKV projection output.
+
+    The standard path costs four full HBM copies per layer around the
+    kernel: the (B, N, 3, H, D) -> (3, B, H, N, D) transpose of the qkv
+    matmul output, explicit 96->128 lane pads of q/k/v, the output D slice,
+    and the (B, H, N, D) -> (B, N, H*D) transpose back (~4 ms/step of the
+    ~23 ms BETR attend stage at the flagship shape). Here the qkv matmul
+    writes (B, N, 3*H*Dp) directly (weights lane-padded with zeros, ~+0.1
+    ms/layer of extra MXU work) and the kernel's BlockSpec index maps read
+    the q/k/v head tiles straight out of that buffer — zero intermediate
+    copies — writing (B, N, H*Dp), which the output projection consumes
+    directly with a row-padded kernel.
+
+    Args:
+        qkv: (B, N, 3*H*Dp) with Dp = round_up(head_dim, 128), logical
+            layout (section, head, lane); padding lanes MUST be zero (zero
+            weight columns => zero v lanes => exact math).
+        qk_norm_weights: optional (wq, wk) raw (head_dim,) f32 weights;
+            per-head RMSNorm fuses in-kernel as in :func:`flash_attention`.
+
+    Returns:
+        (B, N, H*Dp) attention output (padding lanes zero).
+    """
+    B, N, packed = qkv.shape
+    H = n_heads
+    Dp = _round_up(head_dim, LANE)
+    assert packed == 3 * H * Dp, (packed, H, Dp)
+    assert N % LANE == 0, f"packed path needs 128-aligned N, got {N}"
+    block_q = min(block_q, N)
+    block_k = min(block_k, N)
+    if N % block_q:
+        block_q = N
+    if N % block_k:
+        block_k = N
+    num_qb, num_kb = N // block_q, N // block_k
+    qk_norm = qk_norm_weights is not None
+
+    inputs = [qkv, qkv, qkv]
+    in_specs = [
+        pl.BlockSpec(
+            (1, block_q, Dp), lambda g, i, j: (g // H, i, g % H),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, block_k, Dp), lambda g, i, j: (g // H, j, H + g % H),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, block_k, Dp), lambda g, i, j: (g // H, j, 2 * H + g % H),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    if qk_norm:
+        wq, wk = qk_norm_weights
+        w2 = (wq.astype(jnp.float32) * wk.astype(jnp.float32)).reshape(1, head_dim)
+        inputs.append(jnp.pad(w2, ((0, 0), (0, Dp - head_dim))))
+        in_specs.append(
+            pl.BlockSpec((1, Dp), lambda g, i, j: (0, 0), memory_space=pltpu.VMEM)
+        )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _flash_fwd_kernel,
+            n_valid=N,
+            block_k=block_k,
+            num_kb=num_kb,
+            masked=False,
+            qk_norm=qk_norm,
+            n_valid_d=head_dim,
+            fold=scale * LOG2_E,
+            with_lse=False,
+            fold_q=not qk_norm,
+        ),
+        grid=(B * H, num_qb, num_kb),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (1, block_q, Dp), lambda g, i, j: (g // H, i, g % H),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, H * Dp), qkv.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, LANE), jnp.float32),
+            pltpu.VMEM((block_q, LANE), jnp.float32),
+            pltpu.VMEM((block_q, Dp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*inputs)
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def packed_attention_ad(qkv, wq, wk, n_heads, head_dim, scale, interpret=False):
+    """Differentiable packed attention with fused qk-RMSNorm.
+
+    Forward = the copy-free packed kernel. Backward unpacks once and reuses
+    the existing qk-norm VJP (recomputing the forward with LSE) — the
+    training step pays ~one extra forward, serving pays nothing.
+    """
+    return flash_attention_packed(
+        qkv, n_heads, head_dim, scale, qk_norm_weights=(wq, wk),
+        interpret=interpret,
+    )
+
+
+def _packed_ad_fwd(qkv, wq, wk, n_heads, head_dim, scale, interpret=False):
+    out = flash_attention_packed(
+        qkv, n_heads, head_dim, scale, qk_norm_weights=(wq, wk),
+        interpret=interpret,
+    )
+    return out, (qkv, wq, wk)
+
+
+def _packed_ad_bwd(n_heads, head_dim, scale, interpret, residuals, g):
+    qkv, wq, wk = residuals
+    B, N, _ = qkv.shape
+    H, D = n_heads, head_dim
+    Dp = _round_up(D, LANE)
+    qkv5 = qkv.reshape(B, N, 3, H, Dp)[..., :D]
+    q = jnp.transpose(qkv5[:, :, 0], (0, 2, 1, 3))
+    k = jnp.transpose(qkv5[:, :, 1], (0, 2, 1, 3))
+    v = jnp.transpose(qkv5[:, :, 2], (0, 2, 1, 3))
+    gt = jnp.transpose(g.reshape(B, N, H, Dp)[..., :D], (0, 2, 1, 3))
+    _, vjp = jax.vjp(
+        lambda q, k, v, wq, wk: _flash_attention_qknorm_ad(
+            q, k, v, wq, wk, scale, interpret
+        ),
+        q, k, v, wq, wk,
+    )
+    dq, dk, dv, dwq, dwk = vjp(gt)
+    d = jnp.stack([dq, dk, dv], axis=0)  # (3, B, H, N, D)
+    d = jnp.transpose(d, (1, 3, 0, 2, 4))  # (B, N, 3, H, D)
+    d = jnp.pad(d, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Dp - D)))
+    return d.reshape(B, N, 3 * H * Dp), dwq, dwk
+
+
+packed_attention_ad.defvjp(_packed_ad_fwd, _packed_ad_bwd)
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,23 @@ def variants(interpret: bool = False):
 
     out.append(("bwd dq/dkv aligned", fb, bwd_shapes(512)))
     out.append(("bwd dq/dkv masked", fb, bwd_shapes(400)))
+    # packed-layout kernel (qkv read in place from the projection output)
+    def packed_fn(qk_norm):
+        def fn(qkv, *w):
+            return attn.flash_attention_packed(
+                qkv, 8, D, scale, w or None, interpret=interpret
+            )
+        return fn
+
+    out.append(
+        ("fwd packed qk-norm", packed_fn(True),
+         [_s(2, 256, 3 * 8 * 128)] + [_s(D, dtype=jnp.float32)] * 2)
+    )
+    out.append(("fwd packed plain", packed_fn(False), [_s(2, 256, 3 * 8 * 128)]))
+    out.append(
+        ("fwd packed flagship B8 N1536", packed_fn(True),
+         [_s(8, 1536, 3 * 8 * 128)] + [_s(D, dtype=jnp.float32)] * 2)
+    )
     # flagship BETR shape exactly as served (B=8, H=8, N=1536)
     out.append(("fwd flagship B8 H8 N1536", f, qkv(8, 8, 1536)))
     out.append(("bwd flagship B8 H8 N1536", fb, bwd_shapes(1536)))

@@ -248,8 +248,13 @@ class Metrics:
         path_pose_dict_<id>.npy, metric_utils.py:677-678) — the input format
         of tools/vis_results.py."""
         path = path or f"path_pose_dict_{self.dataloader_id}.npy"
-        np.save(path, dict(self._pose_records), allow_pickle=True)
+        # The reference's dict always carries an (empty) 'all' bucket —
+        # per-path records are appended per-category only
+        # (metric_utils.py:497 setdefault vs :539 append).
+        pose_rec = {"all": {}, **{k: dict(v) for k, v in self._pose_records.items()}}
+        err_rec = {"all": {}, **{k: dict(v) for k, v in self._error_records.items()}}
+        np.save(path, pose_rec, allow_pickle=True)
         err_path = path.replace("path_pose_dict", "path_error_dict")
         if err_path != path:
-            np.save(err_path, dict(self._error_records), allow_pickle=True)
+            np.save(err_path, err_rec, allow_pickle=True)
         return path

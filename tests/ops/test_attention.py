@@ -212,3 +212,81 @@ def test_multi_head_attention_qknorm_dispatch_cpu():
     )
     ref = _ref_qknorm_attention(q, k, v, wq, wk, 32**-0.5)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# packed-layout kernel (round 3): qkv read in place from the lane-padded
+# projection output, no transpose/pad/slice copies
+# ---------------------------------------------------------------------------
+
+
+def _pack_qkv(q, k, v, Dp=128):
+    B, H, N, D = q.shape
+    stk = jnp.stack([q, k, v], 0)  # (3, B, H, N, D)
+    stk = jnp.transpose(stk, (1, 3, 0, 2, 4))  # (B, N, 3, H, D)
+    stk = jnp.pad(stk, ((0, 0),) * 4 + ((0, Dp - D),))
+    return stk.reshape(B, N, 3 * H * Dp)
+
+
+def _unpack_out(out, H, D, Dp=128):
+    B, N, _ = out.shape
+    return jnp.transpose(out.reshape(B, N, H, Dp)[..., :D], (0, 2, 1, 3))
+
+
+def _rms_ref(x, w):
+    var = jnp.mean(x * x, -1, keepdims=True)
+    return x * jax.lax.rsqrt(var + 1e-6) * w
+
+
+@pytest.mark.parametrize("qk_norm", [False, True])
+def test_packed_kernel_matches_reference(qk_norm):
+    B, H, N, D = 2, 3, 256, 96
+    q, k, v = make_qkv(jax.random.PRNGKey(7), B=B, H=H, N=N, D=D)
+    ks = jax.random.split(jax.random.PRNGKey(8), 2)
+    wq = jax.random.uniform(ks[0], (D,), jnp.float32, 0.5, 1.5)
+    wk = jax.random.uniform(ks[1], (D,), jnp.float32, 0.5, 1.5)
+    scale = D**-0.5
+    if qk_norm:
+        ref = attention.mha_reference(_rms_ref(q, wq), _rms_ref(k, wk), v, scale)
+        weights = (wq, wk)
+    else:
+        ref = attention.mha_reference(q, k, v, scale)
+        weights = None
+    out = attention.flash_attention_packed(
+        _pack_qkv(q, k, v), H, D, scale, weights, interpret=True
+    )
+    # padding lanes must be exactly zero (the proj matmul relies on it)
+    assert float(jnp.abs(out.reshape(B, N, H, 128)[..., D:]).max()) == 0.0
+    np.testing.assert_allclose(
+        np.asarray(_unpack_out(out, H, D)), np.asarray(ref), atol=2e-5
+    )
+
+
+def test_packed_ad_grads_match_reference():
+    B, H, N, D, Dp = 1, 2, 128, 96, 128
+    q, k, v = make_qkv(jax.random.PRNGKey(9), B=B, H=H, N=N, D=D)
+    ks = jax.random.split(jax.random.PRNGKey(10), 2)
+    wq = jax.random.uniform(ks[0], (D,), jnp.float32, 0.5, 1.5)
+    wk = jax.random.uniform(ks[1], (D,), jnp.float32, 0.5, 1.5)
+    scale = D**-0.5
+    qkv = _pack_qkv(q, k, v)
+
+    def loss_packed(qkv, wq, wk):
+        o = attention.packed_attention_ad(qkv, wq, wk, H, D, scale, True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(qkv, wq, wk):
+        q5 = qkv.reshape(B, N, 3, H, Dp)[..., :D]
+        qq, kk, vv = (jnp.transpose(q5[:, :, s], (0, 2, 1, 3)) for s in range(3))
+        o = attention.mha_reference(_rms_ref(qq, wq), _rms_ref(kk, wk), vv, scale)
+        o = jnp.pad(
+            jnp.transpose(o, (0, 2, 1, 3)), ((0, 0),) * 3 + ((0, Dp - D),)
+        ).reshape(B, N, H * Dp)
+        return jnp.sum(jnp.sin(o))
+
+    g1 = jax.grad(loss_packed, argnums=(0, 1, 2))(qkv, wq, wk)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, wq, wk)
+    for a, b, name in zip(g1, g2, ("dqkv", "dwq", "dwk")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name
+        )

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 
 from boxdreamer_tpu.models import layers
 from boxdreamer_tpu.models.layers import gelu_bf16_fast
-from boxdreamer_tpu.ops.attention import multi_head_attention
+from boxdreamer_tpu.ops.attention import (flash_attention_packed,
+                                          multi_head_attention)
 
 D_MODEL = 768
 HEADS = 8
@@ -84,6 +85,31 @@ def block(p, x, *, gelu, ln, attn, qknorm, lane_pad):
     B, N, C = x.shape
     D = C // HEADS
     h = _ln(x, p["ln1_s"]) if ln else x
+    if qknorm == "packed":
+        # Copy-free path: lane-padded packed qkv matmul -> packed kernel
+        # (BlockSpec index maps read head tiles in place) -> row-padded proj.
+        Dp = 128
+        kw = jnp.pad(
+            p["qkv_w"].reshape(C, 3, HEADS, D), ((0, 0),) * 3 + ((0, Dp - D),)
+        ).reshape(C, 3 * HEADS * Dp)
+        kb = jnp.pad(
+            p["qkv_b"].reshape(3, HEADS, D), ((0, 0), (0, 0), (0, Dp - D))
+        ).reshape(-1)
+        qkv = h @ kw + kb
+        o = flash_attention_packed(
+            qkv, HEADS, D, D**-0.5, (p["qn_w"], p["kn_w"])
+        )  # (B, N, H*Dp)
+        pw = jnp.pad(
+            p["proj_w"].reshape(HEADS, D, C), ((0, 0), (0, Dp - D), (0, 0))
+        ).reshape(HEADS * Dp, C)
+        a = o @ pw + p["proj_b"]
+        x = x + a if ln else a
+        h2 = _ln(x, p["ln2_s"]) if ln else x
+        m = h2 @ p["fc1_w"] + p["fc1_b"]
+        if gelu == "fast":
+            m = gelu_bf16_fast(m)
+        m = m @ p["fc2_w"] + p["fc2_b"]
+        return x + m if ln else m
     if lane_pad and attn:
         Dp = 128
         kw = p["qkv_w"].reshape(C, 3 * HEADS, D)
@@ -166,6 +192,11 @@ VARIANTS = {
     # prod + transpose-free output projection (einsum over (B,H,N,D)).
     "prod_eproj": dict(
         gelu="fast", ln=True, attn=True, qknorm="eproj", lane_pad=False
+    ),
+    # Packed-layout kernel: no qkv transpose, no 96->128 pad copies, no
+    # output slice/transpose (round-3 candidate).
+    "prod_packed": dict(
+        gelu="fast", ln=True, attn=True, qknorm="packed", lane_pad=False
     ),
 }
 
