@@ -116,15 +116,50 @@ class _RMSNormWeight(nn.Module):
         )
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible (kernel, bias) params at this module's
+    scope and returns them — same tree path/shape/init as ``nn.Dense(name=
+    ...)``, so checkpoints and the torch converter are unaffected when the
+    matmul itself is reshaped (packed attention pads the kernel lanes)."""
+
+    features_in: int
+    features_out: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.features_in, self.features_out),
+            jnp.float32,
+        )
+        bias = (
+            self.param(
+                "bias", nn.initializers.zeros, (self.features_out,), jnp.float32
+            )
+            if self.use_bias
+            else None
+        )
+        return kernel, bias
+
+
 class Attention(nn.Module):
     """Multi-head self-attention with fused qkv projection.
 
     Mirrors the reference Attention (blocks.py:208-302): fused qkv Linear
     (optional bias), optional RMSNorm on per-head q/k, softmax scale
     ``head_dim**-0.5``, output projection. Dispatches to the Pallas flash
-    kernel on TPU; the qk-RMSNorm is applied inside
-    :func:`multi_head_attention` (fused into the Pallas kernel on the flash
-    path — saves two full HBM round-trips at the flagship shape).
+    kernel on TPU; the qk-RMSNorm is applied inside the kernel on the flash
+    path — saves two full HBM round-trips at the flagship shape.
+
+    At flash-eligible 128-aligned lengths with qk-norm (the BETR flagship
+    path), the PACKED layout serves instead: the qkv matmul writes
+    (B, N, 3*H*Dp) with lane-padded kernels and the Pallas kernel reads the
+    head tiles in place (ops/attention.py:flash_attention_packed) — this
+    removes the qkv transpose, the 96->128 pad copies, and the output
+    slice+transpose, measured -3.5 ms/step on the 12-layer attend stack at
+    B=8/N=1536 (tools/attend_anatomy.py prod vs prod_packed).
     """
 
     num_heads: int
@@ -134,23 +169,56 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from boxdreamer_tpu.ops import attention as attn_ops
+
         B, N, C = x.shape
-        head_dim = C // self.num_heads
-        qkv = nn.Dense(3 * C, use_bias=self.qkv_bias, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        H = self.num_heads
+        D = C // H
+        scale = D**-0.5
+        dtype = self.dtype
+        qkv_kernel, qkv_b = _DenseParams(C, 3 * C, self.qkv_bias, name="qkv")()
+        proj_kernel, proj_b = _DenseParams(C, C, self.qkv_bias, name="proj")()
         norm_weights = None
         if self.qk_norm:
             norm_weights = (
-                _RMSNormWeight(head_dim, name="q_norm")(),
-                _RMSNormWeight(head_dim, name="k_norm")(),
+                _RMSNormWeight(D, name="q_norm")(),
+                _RMSNormWeight(D, name="k_norm")(),
             )
-        out = multi_head_attention(
-            q, k, v, scale=head_dim**-0.5, qk_norm_weights=norm_weights
-        )
-        out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
-        return nn.Dense(C, use_bias=self.qkv_bias, dtype=self.dtype, name="proj")(out)
+
+        x = x.astype(dtype)
+        if attn_ops.packed_attention_eligible(N, self.qk_norm):
+            Dp = attn_ops._round_up(D, attn_ops.LANE)
+            kw = jnp.pad(
+                qkv_kernel.reshape(C, 3, H, D), ((0, 0),) * 3 + ((0, Dp - D),)
+            ).reshape(C, 3 * H * Dp)
+            qkv = x @ kw.astype(dtype)
+            if qkv_b is not None:
+                kb = jnp.pad(
+                    qkv_b.reshape(3, H, D), ((0, 0), (0, 0), (0, Dp - D))
+                ).reshape(-1)
+                qkv = qkv + kb.astype(dtype)
+            out = attn_ops.packed_attention_ad(
+                qkv, norm_weights[0], norm_weights[1], H, D, scale
+            )  # (B, N, H*Dp)
+            pw = jnp.pad(
+                proj_kernel.reshape(H, D, C), ((0, 0), (0, Dp - D), (0, 0))
+            ).reshape(H * Dp, C)
+            out = out @ pw.astype(dtype)
+        else:
+            qkv = x @ qkv_kernel.astype(dtype)
+            if qkv_b is not None:
+                qkv = qkv + qkv_b.astype(dtype)
+            qkv = qkv.reshape(B, N, 3, H, D)
+            qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            out = multi_head_attention(
+                q, k, v, scale=scale, qk_norm_weights=norm_weights
+            )
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+            out = out @ proj_kernel.astype(dtype)
+        if proj_b is not None:
+            out = out + proj_b.astype(dtype)
+        return out
 
 
 class LayerScale(nn.Module):

@@ -855,7 +855,8 @@ def sequence_parallel_scope(mesh, axis: str = "data", min_len: int = 4096):
     Eligible = self-attention (q is k is v not required — shapes equal),
     token count >= ``min_len`` and divisible by the axis size. The decision
     is made at trace time (static shapes), so this composes with jit.
-    Forward-only: the ring path has no custom VJP.
+    Differentiable: the ring path has a custom VJP (backward ring with
+    traveling dk/dv accumulators), so sequence-parallel TRAINING works.
     """
     prev = dict(_SP_STATE)
     _SP_STATE.update(mesh=mesh, axis=axis, min_len=min_len)
@@ -863,6 +864,20 @@ def sequence_parallel_scope(mesh, axis: str = "data", min_len: int = 4096):
         yield
     finally:
         _SP_STATE.update(prev)
+
+
+def packed_attention_eligible(n_tokens: int, qk_norm: bool) -> bool:
+    """True when the copy-free packed-layout kernel should serve this shape:
+    TPU backend, flash-length 128-aligned sequence, fused qk-norm weights
+    available (the AD wrapper needs them), and no sequence-parallel scope
+    (the ring path owns long sequences there)."""
+    return (
+        qk_norm
+        and jax.default_backend() == "tpu"
+        and n_tokens > FLASH_MIN_SEQ_LEN
+        and n_tokens % LANE == 0
+        and _SP_STATE["mesh"] is None
+    )
 
 
 def multi_head_attention(
@@ -955,6 +970,12 @@ def sequence_parallel_attention(
     ring the local compute is the Pallas flash kernel (TPU) or the XLA
     reference (CPU tests).
 
+    Differentiable: a custom VJP runs the backward ring — each device
+    accumulates dq for its query shard while dk/dv partial sums travel with
+    their KV shard (same ppermute schedule), arriving home after a full
+    rotation. Gradients bit-match the single-device reference
+    (tests/parallel/test_seq_parallel.py).
+
     Args:
         q, k, v: (B, H, N, D) global arrays (sharded or to-be-sharded);
             N must divide by the size of ``axis``.
@@ -964,48 +985,143 @@ def sequence_parallel_attention(
     Returns:
         (B, H, N, D), sharded over ``axis`` on the token dim.
     """
-    from jax.sharding import PartitionSpec as P
-
     if use_flash is None:
         use_flash = jax.default_backend() == "tpu"
+    assert q.shape[2] % mesh.shape[axis] == 0, (q.shape, mesh.shape[axis])
+    return _ring_attention_ad(
+        q, k, v, scale, mesh, axis, use_flash, interpret, block_q, block_k
+    )
+
+
+def _ring_fwd_local(q_l, k_l, v_l, *, scale, axis, n_shards, use_flash,
+                    interpret, block_q, block_k):
+    """Per-device forward ring; returns (o, global lse) for the local
+    query shard."""
+    o, lse = _attn_with_lse(
+        q_l, k_l, v_l, scale, use_flash, interpret, block_q, block_k
+    )
+    o = o.astype(jnp.float32)
+    perm = [(j, (j + 1) % n_shards) for j in range(n_shards)]
+
+    # o tracks the normalized-so-far output; each ring step does a
+    # numerically stable pairwise logsumexp combine with the new shard.
+    def body(_, carry):
+        o, lse, k_c, v_c = carry
+        k_c = jax.lax.ppermute(k_c, axis, perm)
+        v_c = jax.lax.ppermute(v_c, axis, perm)
+        o_i, lse_i = _attn_with_lse(
+            q_l, k_c, v_c, scale, use_flash, interpret, block_q, block_k
+        )
+        m = jnp.maximum(lse, lse_i)
+        w0 = jnp.exp(lse - m)
+        w1 = jnp.exp(lse_i - m)
+        denom = w0 + w1
+        o = (
+            o * (w0 / denom)[..., None]
+            + o_i.astype(jnp.float32) * (w1 / denom)[..., None]
+        )
+        lse = m + jnp.log(denom)
+        return o, lse, k_c, v_c
+
+    o, lse, _, _ = jax.lax.fori_loop(1, n_shards, body, (o, lse, k_l, v_l))
+    return o.astype(q_l.dtype), lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _ring_attention_ad(q, k, v, scale, mesh, axis, use_flash, interpret,
+                       block_q, block_k):
+    out, _ = _ring_fwd_sharded(
+        q, k, v, scale, mesh, axis, use_flash, interpret, block_q, block_k
+    )
+    return out
+
+
+def _ring_fwd_sharded(q, k, v, scale, mesh, axis, use_flash, interpret,
+                      block_q, block_k):
+    from jax.sharding import PartitionSpec as P
+
     n_shards = mesh.shape[axis]
-    assert q.shape[2] % n_shards == 0, (q.shape, n_shards)
-
-    def local(q_l, k_l, v_l):
-        o, lse = _attn_with_lse(
-            q_l, k_l, v_l, scale, use_flash, interpret, block_q, block_k
-        )
-        o = o.astype(jnp.float32)
-        perm = [(j, (j + 1) % n_shards) for j in range(n_shards)]
-
-        # o tracks the normalized-so-far output; each ring step does a
-        # numerically stable pairwise logsumexp combine with the new shard.
-        def body(_, carry):
-            o, lse, k_c, v_c = carry
-            k_c = jax.lax.ppermute(k_c, axis, perm)
-            v_c = jax.lax.ppermute(v_c, axis, perm)
-            o_i, lse_i = _attn_with_lse(
-                q_l, k_c, v_c, scale, use_flash, interpret, block_q, block_k
-            )
-            m = jnp.maximum(lse, lse_i)
-            w0 = jnp.exp(lse - m)
-            w1 = jnp.exp(lse_i - m)
-            denom = w0 + w1
-            o = (
-                o * (w0 / denom)[..., None]
-                + o_i.astype(jnp.float32) * (w1 / denom)[..., None]
-            )
-            lse = m + jnp.log(denom)
-            return o, lse, k_c, v_c
-
-        o, lse, _, _ = jax.lax.fori_loop(
-            1, n_shards, body, (o, lse, k_l, v_l)
-        )
-        return o.astype(q_l.dtype)
-
+    local = functools.partial(
+        _ring_fwd_local, scale=scale, axis=axis, n_shards=n_shards,
+        use_flash=use_flash, interpret=interpret,
+        block_q=block_q, block_k=block_k,
+    )
     spec = P(None, None, axis, None)
     # check_vma=False: pallas_call outputs carry no varying-mesh-axes info.
     return jax.shard_map(
-        local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        local, mesh=mesh, in_specs=(spec, spec, spec),
+        out_specs=(spec, P(None, None, axis)),
         check_vma=False,
     )(q, k, v)
+
+
+def _ring_ad_fwd(q, k, v, scale, mesh, axis, use_flash, interpret,
+                 block_q, block_k):
+    out, lse = _ring_fwd_sharded(
+        q, k, v, scale, mesh, axis, use_flash, interpret, block_q, block_k
+    )
+    return out, (q, k, v, out, lse)
+
+
+def _ring_ad_bwd(scale, mesh, axis, use_flash, interpret, block_q, block_k,
+                 residuals, g):
+    from jax.sharding import PartitionSpec as P
+
+    q, k, v, out, lse = residuals
+    n_shards = mesh.shape[axis]
+
+    def bwd_partial(q_l, k_c, v_c, o_l, lse_l, g_l):
+        """Gradients of the GLOBAL softmax restricted to one KV shard:
+        p_ij = exp(s_ij - lse_i) with the global lse, delta from the global
+        out — exactly what the flash backward computes when fed the combined
+        out/lse with the shard's k/v."""
+        if use_flash and max(
+            q_l.shape[2], k_c.shape[2]
+        ) >= FLASH_BWD_PALLAS_MIN_SEQ_LEN:
+            return flash_attention_bwd(
+                q_l, k_c, v_c, o_l, lse_l, g_l, scale, interpret=interpret
+            )
+        return flash_attention_bwd_xla(q_l, k_c, v_c, o_l, lse_l, g_l, scale)
+
+    def local(q_l, k_l, v_l, o_l, lse_l, g_l):
+        perm = [(j, (j + 1) % n_shards) for j in range(n_shards)]
+        dq = jnp.zeros(q_l.shape, jnp.float32)
+        dk_acc = jnp.zeros(k_l.shape, jnp.float32)
+        dv_acc = jnp.zeros(v_l.shape, jnp.float32)
+
+        def body(_, carry):
+            dq, dk_acc, dv_acc, k_c, v_c = carry
+            dq_p, dk_p, dv_p = bwd_partial(q_l, k_c, v_c, o_l, lse_l, g_l)
+            dq = dq + dq_p.astype(jnp.float32)
+            dk_acc = dk_acc + dk_p.astype(jnp.float32)
+            dv_acc = dv_acc + dv_p.astype(jnp.float32)
+            # dk/dv partial sums travel WITH their kv shard: after the full
+            # n_shards rotations every accumulator is back on the device
+            # that owns its shard.
+            k_c = jax.lax.ppermute(k_c, axis, perm)
+            v_c = jax.lax.ppermute(v_c, axis, perm)
+            dk_acc = jax.lax.ppermute(dk_acc, axis, perm)
+            dv_acc = jax.lax.ppermute(dv_acc, axis, perm)
+            return dq, dk_acc, dv_acc, k_c, v_c
+
+        dq, dk_acc, dv_acc, _, _ = jax.lax.fori_loop(
+            0, n_shards, body, (dq, dk_acc, dv_acc, k_l, v_l)
+        )
+        return (
+            dq.astype(q_l.dtype),
+            dk_acc.astype(k_l.dtype),
+            dv_acc.astype(v_l.dtype),
+        )
+
+    spec = P(None, None, axis, None)
+    lspec = P(None, None, axis)
+    dq, dk, dv = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, lspec, spec),
+        out_specs=(spec, spec, spec),
+        check_vma=False,
+    )(q, k, v, out, lse, g)
+    return dq, dk, dv
+
+
+_ring_attention_ad.defvjp(_ring_ad_fwd, _ring_ad_bwd)

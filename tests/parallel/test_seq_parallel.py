@@ -121,3 +121,58 @@ def test_dense_predict_sequence_parallel_matches(mesh8):
         np.asarray(out_plain["pred_poses"]),
         atol=1e-3,
     )
+
+
+def test_ring_attention_gradients_match_single_device(mesh8):
+    """Custom VJP of the ring (backward ring with traveling dk/dv
+    accumulators): grads of a nonlinear loss must match jax.grad of the
+    single-device reference (VERDICT round-2 item 3)."""
+    q, k, v = _qkv(jax.random.PRNGKey(5), N=1024)
+    scale = q.shape[-1] ** -0.5
+
+    def loss_ring(q, k, v):
+        o = attention.sequence_parallel_attention(
+            q, k, v, scale, mesh8, axis="data", use_flash=False
+        )
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(attention.mha_reference(q, k, v, scale)))
+
+    g_ring = jax.grad(loss_ring, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, err_msg=name
+        )
+
+
+def test_ring_attention_gradients_under_jit(mesh8):
+    """Same under jit with sharded inputs — the production training path."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    q, k, v = _qkv(jax.random.PRNGKey(6), N=2048)
+    scale = q.shape[-1] ** -0.5
+    sh = NamedSharding(mesh8, P(None, None, "data", None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+
+    @jax.jit
+    def grads(q, k, v):
+        def loss(q, k, v):
+            o = attention.sequence_parallel_attention(
+                q, k, v, scale, mesh8, axis="data", use_flash=False
+            )
+            return jnp.sum(o * o)
+
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    g_ring = grads(qs, ks, vs)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention.mha_reference(q, k, v, scale) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_ring, g_ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, err_msg=name
+        )

@@ -1,0 +1,79 @@
+"""Backward-kernel crossover measurement (real chip, chain-slope protocol).
+
+VERDICT round-2 item 3: the Pallas backward got the exp2/scale-folding
+treatment; re-measure where it crosses the XLA-lse backward so
+FLASH_BWD_PALLAS_MIN_SEQ_LEN (ops/attention.py) reflects the tuned kernel,
+not the round-1 one. Times a full fwd+bwd pair per step (what a train step
+pays) for both backends at several sequence lengths.
+
+Usage: python tools/bwd_tune.py [--lens 1024 1536 2048 3072]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, H, D = 8, 8, 96
+
+
+def chain_time(step_fn, args, k_steps):
+    @jax.jit
+    def chained(q, k, v, g):
+        def body(carry, _):
+            q, k, v, g = carry
+            dq, dk, dv = step_fn(q, k, v, g)
+            return (q + 1e-3 * dq, k + 1e-3 * dk, v + 1e-3 * dv, g), None
+
+        (q, _, _, _), _ = jax.lax.scan(body, (q, k, v, g), None, length=k_steps)
+        return jnp.sum(q.astype(jnp.float32))
+
+    s = chained(*args)
+    s.block_until_ready()
+    t0 = time.perf_counter()
+    s = chained(*args)
+    s.block_until_ready()
+    return (time.perf_counter() - t0) * 1e3, float(s)
+
+
+def run(lens):
+    from boxdreamer_tpu.ops import attention as A
+
+    rng = np.random.default_rng(0)
+    for N in lens:
+        q = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.bfloat16)
+        g = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.bfloat16)
+        scale = D**-0.5
+
+        def fwdbwd_pallas(q, k, v, g):
+            out, lse = A.flash_attention(q, k, v, scale, return_lse=True)
+            return A.flash_attention_bwd(q, k, v, out, lse, g, scale)
+
+        def fwdbwd_xla(q, k, v, g):
+            out, lse = A.flash_attention(q, k, v, scale, return_lse=True)
+            return A.flash_attention_bwd_xla(q, k, v, out, lse, g, scale)
+
+        print(f"N={N}:", flush=True)
+        for name, fn in (("pallas-bwd", fwdbwd_pallas), ("xla-bwd", fwdbwd_xla)):
+            try:
+                t1, c1 = chain_time(fn, (q, k, v, g), 4)
+                t2, c2 = chain_time(fn, (q, k, v, g), 12)
+                ms = (t2 - t1) / 8.0
+                assert np.isfinite(c2)
+                print(f"  {name:12s} {ms:8.2f} ms/fwd+bwd "
+                      f"(t4={t1:7.1f} t12={t2:7.1f})", flush=True)
+            except Exception as e:  # noqa: BLE001
+                print(f"  {name:12s} FAILED: {type(e).__name__}: {e}", flush=True)
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--lens", nargs="+", type=int, default=[1024, 1536, 2048, 3072])
+    a = p.parse_args()
+    run(a.lens)
