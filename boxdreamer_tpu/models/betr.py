@@ -76,6 +76,7 @@ class BETR(nn.Module):
         deterministic: bool = True,
         embed_only: bool = False,
         precomputed_fuse: Optional[jax.Array] = None,
+        query_last: bool = False,
     ) -> jax.Array:
         """Args:
             pose_feat: (B, T, box_dim, H, W) bbox feature maps (query frame
@@ -92,6 +93,11 @@ class BETR(nn.Module):
             precomputed_fuse: (B, T, P, d) fused tokens to feed the stack
                 directly (the counterpart of embed_only; pose_feat/rgbs/
                 pretrain_rgb_feat are ignored).
+            query_last: serving fast path — the query frame is known to be
+                the LAST frame (masks[:, -1]); the final attention block then
+                computes outputs only for those P tokens (exact: the head
+                consumes nothing else), saving ~5/6 of the last layer's
+                q-side attention + projection + MLP.
 
         Returns:
             (B, box_dim, H, W) query prediction; for the heatmap
@@ -111,7 +117,8 @@ class BETR(nn.Module):
 
         if precomputed_fuse is not None:
             return self._attend_and_project(
-                precomputed_fuse.astype(dtype), masks, deterministic
+                precomputed_fuse.astype(dtype), masks, deterministic,
+                query_last=query_last,
             )
 
         # --- bbox feature tokens -------------------------------------------------
@@ -181,10 +188,13 @@ class BETR(nn.Module):
         if embed_only:
             return fuse
 
-        return self._attend_and_project(fuse, masks, deterministic)
+        return self._attend_and_project(
+            fuse, masks, deterministic, query_last=query_last
+        )
 
     def _attend_and_project(
-        self, fuse: jax.Array, masks: jax.Array, deterministic: bool
+        self, fuse: jax.Array, masks: jax.Array, deterministic: bool,
+        query_last: bool = False,
     ) -> jax.Array:
         """Attention stack + query selection + output head over fused
         per-frame tokens (B, T, P, d)."""
@@ -200,8 +210,9 @@ class BETR(nn.Module):
             if cfg.remat
             else layers.TransformerBlock
         )
-        for i in range(cfg.num_decoder_layers):
-            x = block_cls(
+
+        def block(i):
+            return block_cls(
                 num_heads=cfg.nhead,
                 mlp_ratio=cfg.mlp_ratio,
                 qk_norm=cfg.qk_norm,
@@ -209,13 +220,23 @@ class BETR(nn.Module):
                 ln_eps=1e-5,
                 dtype=dtype,
                 name=f"block_{i}",
-            )(x, deterministic)
-        x = x.reshape(B, T, P, cfg.d_model)
+            )
 
-        # --- select query tokens (exactly one query per batch row) ---------------
-        query_feat = jnp.einsum(
-            "btpc,bt->bpc", x, masks.astype(x.dtype)
-        )  # (B, P, C)
+        n_layers = cfg.num_decoder_layers
+        for i in range(n_layers - 1 if query_last else n_layers):
+            x = block(i)(x, deterministic)
+
+        if query_last:
+            # Serving fast path: the query frame is the LAST frame; the final
+            # block computes only its P tokens' outputs (attending over all
+            # T*P keys) — exact, since the head reads nothing else.
+            query_feat = block(n_layers - 1)(x, deterministic, q_slice=P)
+        else:
+            x = x.reshape(B, T, P, cfg.d_model)
+            # --- select query tokens (exactly one query per batch row) -----------
+            query_feat = jnp.einsum(
+                "btpc,bt->bpc", x, masks.astype(x.dtype)
+            )  # (B, P, C)
 
         # --- output head ---------------------------------------------------------
         out = nn.Dense(p2 * cfg.box_dim, dtype=dtype, name="bbox_proj")(query_feat)

@@ -101,6 +101,25 @@ class Mlp(nn.Module):
         return x
 
 
+class _LNParams(nn.Module):
+    """Declares nn.LayerNorm-compatible (scale, bias) params at this
+    module's scope — same tree path as ``nn.LayerNorm(name=...)`` so
+    checkpoints are unaffected when the norm is fused into a matmul kernel
+    (ops/fused_matmul.py)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones, (self.features,), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.features,), jnp.float32
+        )
+        return scale, bias
+
+
 class _RMSNormWeight(nn.Module):
     """Declares the (features,) RMSNorm weight at this module's scope and
     returns it — same param path/shape as :class:`RMSNorm`, so checkpoints
@@ -168,8 +187,18 @@ class Attention(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, q_slice: Optional[int] = None,
+                 pre_ln=None):
+        """``q_slice``: compute outputs only for the LAST ``q_slice`` tokens
+        (they still attend over all N keys). Exact for consumers that only
+        read those positions — the serving path's final BETR layer, where
+        only the query frame's tokens reach the output head.
+
+        ``pre_ln``: optional (gamma, beta, eps) — x arrives RAW and the
+        LayerNorm fuses into the qkv matmul kernel (ops/fused_matmul.py),
+        removing the materialized-normalized-x HBM pass."""
         from boxdreamer_tpu.ops import attention as attn_ops
+        from boxdreamer_tpu.ops import fused_matmul as fused
 
         B, N, C = x.shape
         H = self.num_heads
@@ -186,17 +215,28 @@ class Attention(nn.Module):
             )
 
         x = x.astype(dtype)
-        if attn_ops.packed_attention_eligible(N, self.qk_norm):
+
+        def qkv_project(kernel, bias):
+            if pre_ln is None:
+                out = x @ kernel
+                return out + bias if bias is not None else out
+            gamma, beta, eps = pre_ln
+            y2, _ = fused.ln_matmul(
+                x.reshape(B * N, C), None, kernel, gamma, beta, bias, eps
+            )
+            return y2.reshape(B, N, kernel.shape[1])
+
+        if q_slice is None and attn_ops.packed_attention_eligible(N, self.qk_norm):
             Dp = attn_ops._round_up(D, attn_ops.LANE)
             kw = jnp.pad(
                 qkv_kernel.reshape(C, 3, H, D), ((0, 0),) * 3 + ((0, Dp - D),)
             ).reshape(C, 3 * H * Dp)
-            qkv = x @ kw.astype(dtype)
+            kb = None
             if qkv_b is not None:
                 kb = jnp.pad(
                     qkv_b.reshape(3, H, D), ((0, 0), (0, 0), (0, Dp - D))
-                ).reshape(-1)
-                qkv = qkv + kb.astype(dtype)
+                ).reshape(-1).astype(dtype)
+            qkv = qkv_project(kw.astype(dtype), kb)
             out = attn_ops.packed_attention_ad(
                 qkv, norm_weights[0], norm_weights[1], H, D, scale
             )  # (B, N, H*Dp)
@@ -205,16 +245,20 @@ class Attention(nn.Module):
             ).reshape(H * Dp, C)
             out = out @ pw.astype(dtype)
         else:
-            qkv = x @ qkv_kernel.astype(dtype)
-            if qkv_b is not None:
-                qkv = qkv + qkv_b.astype(dtype)
+            qkv = qkv_project(
+                qkv_kernel.astype(dtype),
+                qkv_b.astype(dtype) if qkv_b is not None else None,
+            )
             qkv = qkv.reshape(B, N, 3, H, D)
             qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)
             q, k, v = qkv[0], qkv[1], qkv[2]
+            if q_slice is not None:
+                q = q[:, :, -q_slice:, :]
             out = multi_head_attention(
                 q, k, v, scale=scale, qk_norm_weights=norm_weights
             )
-            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, N, C)
+            n_out = N if q_slice is None else q_slice
+            out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, n_out, C)
             out = out @ proj_kernel.astype(dtype)
         if proj_b is not None:
             out = out + proj_b.astype(dtype)
@@ -237,9 +281,30 @@ class LayerScale(nn.Module):
         return x * gamma.astype(x.dtype)
 
 
+class _MlpParams(nn.Module):
+    """Declares Mlp-compatible fc1/fc2 params (same tree as ``Mlp(name=
+    'mlp')``) for the fused-kernel block path."""
+
+    features_in: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        fc1 = _DenseParams(self.features_in, self.hidden, True, name="fc1")()
+        fc2 = _DenseParams(self.hidden, self.features_in, True, name="fc2")()
+        return fc1, fc2
+
+
 class TransformerBlock(nn.Module):
     """Pre-LN transformer block (reference SelfAttentionBlock,
-    blocks.py:808-886, and DINOv2 NestedTensorBlock when layerscale is on)."""
+    blocks.py:808-886, and DINOv2 NestedTensorBlock when layerscale is on).
+
+    On TPU in bf16, the block runs a FUSED path: LN1 fuses into the qkv
+    matmul, the attention residual add + LN2 fuse into the fc1 matmul
+    (which also emits the residual stream), and the GELU fuses into the fc2
+    matmul (ops/fused_matmul.py) — removing every standalone elementwise
+    HBM pass in the block. The math is identical (f32 LN, the same
+    precision-matched fast GELU bf16 already uses)."""
 
     num_heads: int
     mlp_ratio: float = 4.0
@@ -250,18 +315,60 @@ class TransformerBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True,
+                 q_slice: Optional[int] = None):
+        """``q_slice``: produce the block output only for the last
+        ``q_slice`` tokens (exact; see Attention.__call__). Returns
+        (B, q_slice, C) instead of (B, N, C)."""
+        import jax as _jax
+
         C = x.shape[-1]
-        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
-        h = Attention(
+        attn = Attention(
             num_heads=self.num_heads,
             qkv_bias=self.qkv_bias,
             qk_norm=self.qk_norm,
             dtype=self.dtype,
             name="attn",
-        )(h)
+        )
+        fused_ok = (
+            jnp.dtype(self.dtype) == jnp.bfloat16
+            and _jax.default_backend() == "tpu"
+            and x.ndim == 3
+        )
+        if fused_ok:
+            from boxdreamer_tpu.ops import fused_matmul as fused
+
+            dtype = jnp.dtype(self.dtype)
+            x = x.astype(dtype)
+            g1, b1 = _LNParams(C, name="norm1")()
+            g2, b2 = _LNParams(C, name="norm2")()
+            (fc1_k, fc1_b), (fc2_k, fc2_b) = _MlpParams(
+                C, int(C * self.mlp_ratio), name="mlp"
+            )()
+            h = attn(x, q_slice=q_slice, pre_ln=(g1, b1, self.ln_eps))
+            if self.layerscale_init is not None:
+                h = LayerScale(self.layerscale_init, name="ls1")(h)
+            if q_slice is not None:
+                x = x[:, -q_slice:]
+            B, N, _ = x.shape
+            # residual add + LN2 + fc1 in one kernel (emits the residual
+            # stream t = x + h), then GELU + fc2 in another.
+            y, t = fused.ln_matmul(
+                x.reshape(B * N, C), h.reshape(B * N, C),
+                fc1_k.astype(dtype), g2, b2, fc1_b.astype(dtype),
+                self.ln_eps,
+            )
+            m = fused.gelu_matmul(y, fc2_k.astype(dtype), fc2_b.astype(dtype))
+            if self.layerscale_init is not None:
+                m = LayerScale(self.layerscale_init, name="ls2")(m)
+            return (t + m).reshape(B, N, C)
+
+        h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
+        h = attn(h, q_slice=q_slice)
         if self.layerscale_init is not None:
             h = LayerScale(self.layerscale_init, name="ls1")(h)
+        if q_slice is not None:
+            x = x[:, -q_slice:]
         x = x + h
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm2")(x)
         h = Mlp(

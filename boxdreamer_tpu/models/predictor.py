@@ -42,7 +42,10 @@ def decoder_apply(
     camera_mask: jax.Array,
     rgb_tokens: jax.Array,
 ) -> jax.Array:
-    """Run the BETR submodule alone on precomputed tokens."""
+    """Run the BETR submodule alone on precomputed tokens. The serving
+    contract puts the query frame LAST (camera_mask[:, -1]), so the final
+    attention block computes only the query frame's token outputs
+    (query_last fast path — exact)."""
     dec = BETR(model.config.betr)
     return dec.apply(
         {"params": params["params"]["decoder"]},
@@ -50,6 +53,7 @@ def decoder_apply(
         None,
         camera_mask,
         pretrain_rgb_feat=rgb_tokens,
+        query_last=True,
     )
 
 
@@ -80,7 +84,8 @@ def decoder_attend(
     fuse: jax.Array,
     camera_mask: jax.Array,
 ) -> jax.Array:
-    """Attention stack + head over precomputed fused tokens."""
+    """Attention stack + head over precomputed fused tokens (query frame
+    last — the final block runs in query_last fast-path mode)."""
     dec = BETR(model.config.betr)
     return dec.apply(
         {"params": params["params"]["decoder"]},
@@ -88,6 +93,7 @@ def decoder_attend(
         None,
         camera_mask,
         precomputed_fuse=fuse,
+        query_last=True,
     )
 
 

@@ -60,6 +60,17 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax
     return out.astype(out_dtype)
 
 
+def _pick_block(n: int, requested: int) -> int:
+    """Largest LANE-multiple block <= requested that divides round_up(n,
+    LANE) — avoids both pad blowup (N=2048 with a 1536 block would pad to
+    3072, +50% work) and oversized VMEM tiles."""
+    n_pad = _round_up(n, LANE)
+    b = min(requested, n_pad)
+    while n_pad % b:
+        b -= LANE
+    return b
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -223,8 +234,8 @@ def flash_attention(
     qk_norm = qk_norm_weights is not None
 
     D_pad = _round_up(D, LANE)
-    block_q = min(block_q, _round_up(Nq, LANE))
-    block_k = min(block_k, _round_up(Nk, LANE))
+    block_q = _pick_block(Nq, block_q)
+    block_k = _pick_block(Nk, block_k)
     Nq_pad = _round_up(Nq, block_q)
     Nk_pad = _round_up(Nk, block_k)
 
@@ -350,12 +361,8 @@ def flash_attention_packed(
     Dp = _round_up(head_dim, LANE)
     assert packed == 3 * H * Dp, (packed, H, Dp)
     assert N % LANE == 0, f"packed path needs 128-aligned N, got {N}"
-    block_q = min(block_q, N)
-    block_k = min(block_k, N)
-    if N % block_q:
-        block_q = N
-    if N % block_k:
-        block_k = N
+    block_q = _pick_block(N, block_q)
+    block_k = _pick_block(N, block_k)
     num_qb, num_kb = N // block_q, N // block_k
     qk_norm = qk_norm_weights is not None
 
@@ -602,8 +609,12 @@ def flash_attention_bwd(
     Nk = k.shape[2]
 
     D_pad = _round_up(D, LANE)
-    block_q = min(block_q, _round_up(Nq, LANE))
-    block_k = min(block_k, _round_up(Nk, LANE))
+    # The backward kernels carry more scratch than the forward ((block, D)
+    # f32 accumulators in BOTH kernels plus the (BQ, BK) tile); 1536 blocks
+    # exceed the 16 MB scoped-VMEM limit inside loops (measured: 17.09 MB at
+    # N=1536) — cap at 1024.
+    block_q = _pick_block(Nq, min(block_q, 1024))
+    block_k = _pick_block(Nk, min(block_k, 1024))
     Nq_pad = _round_up(Nq, block_q)
     Nk_pad = _round_up(Nk, block_k)
     num_qb = Nq_pad // block_q
@@ -911,7 +922,10 @@ def multi_head_attention(
                 q, k, v, scale, mesh, axis=_SP_STATE["axis"]
             )
     platform = jax.default_backend()
-    if platform == "tpu" and q.shape[-2] > FLASH_MIN_SEQ_LEN:
+    # max(Nq, Nk): a short query shard over a long KV (the serving path's
+    # query-sliced final layer) is exactly where flash's no-(N,N)
+    # materialization matters.
+    if platform == "tpu" and max(q.shape[-2], k.shape[-2]) > FLASH_MIN_SEQ_LEN:
         if qk_norm_weights is not None:
             return _flash_attention_qknorm_ad(
                 q, k, v, qk_norm_weights[0], qk_norm_weights[1], scale, False

@@ -113,6 +113,27 @@ def variants(interpret: bool = False):
         ("fwd packed flagship B8 N1536", packed_fn(True),
          [_s(8, 1536, 3 * 8 * 128)] + [_s(D, dtype=jnp.float32)] * 2)
     )
+    # prologue-fused matmuls (ops/fused_matmul.py) at flagship block shapes
+    from boxdreamer_tpu.ops import fused_matmul as fm
+
+    M = 12288  # B=8 x N=1536 rows
+    for dt in (jnp.bfloat16, jnp.float32):
+        tag = "bf16" if dt == jnp.bfloat16 else "f32"
+        out.append(
+            (f"gelu_matmul fc2 {tag}",
+             functools.partial(fm.gelu_matmul, block_m=256,
+                               interpret=interpret),
+             [_s(M, 3072, dtype=dt), _s(3072, 768, dtype=dt),
+              _s(768, dtype=dt)])
+        )
+        out.append(
+            (f"ln_matmul residual fc1 {tag}",
+             functools.partial(fm.ln_matmul, eps=1e-5, block_m=256,
+                               interpret=interpret),
+             [_s(M, 768, dtype=dt), _s(M, 768, dtype=dt),
+              _s(768, 3072, dtype=dt), _s(768, dtype=jnp.float32),
+              _s(768, dtype=jnp.float32), _s(3072, dtype=dt)])
+        )
     # flagship BETR shape exactly as served (B=8, H=8, N=1536)
     out.append(("fwd flagship B8 H8 N1536", f, qkv(8, 8, 1536)))
     out.append(("bwd flagship B8 H8 N1536", fb, bwd_shapes(1536)))

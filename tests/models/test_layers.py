@@ -132,3 +132,45 @@ def test_fast_gelu_grads_finite_and_close():
     # The value fit is 2.6e-5-tight; its derivative is looser but still far
     # below bf16 resolution of typical gradient magnitudes.
     np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_exact), atol=2e-3)
+
+
+def test_block_q_slice_matches_full():
+    """TransformerBlock(q_slice=P) must equal the last P rows of the full
+    block output — the exactness contract of the serving fast path."""
+    import jax
+
+    from boxdreamer_tpu.models.layers import TransformerBlock
+
+    blk = TransformerBlock(num_heads=2, qk_norm=True, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 24, 16))
+    params = blk.init(jax.random.PRNGKey(1), x)
+    full = blk.apply(params, x)
+    sliced = blk.apply(params, x, True, 8)
+    np.testing.assert_allclose(
+        np.asarray(sliced), np.asarray(full[:, -8:]), atol=1e-6
+    )
+
+
+def test_betr_query_last_matches_full():
+    """BETR(query_last=True) with the query in the LAST frame must produce
+    the same heatmaps as the standard masked-einsum selection."""
+    import jax
+
+    from boxdreamer_tpu.models.betr import BETR, BETRConfig
+
+    cfg = BETRConfig(
+        d_model=32, nhead=2, num_decoder_layers=2, patch_size=14,
+        img_size=28, dtype="float32",
+    )
+    dec = BETR(cfg)
+    B, T, P = 2, 3, cfg.tokens_per_frame
+    fuse = jax.random.normal(jax.random.PRNGKey(2), (B, T, P, 32))
+    masks = jnp.zeros((B, T), dtype=bool).at[:, -1].set(True)
+    params = dec.init(
+        jax.random.PRNGKey(3), None, None, masks, precomputed_fuse=fuse
+    )
+    full = dec.apply(params, None, None, masks, precomputed_fuse=fuse)
+    fast = dec.apply(
+        params, None, None, masks, precomputed_fuse=fuse, query_last=True
+    )
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(full), atol=1e-6)

@@ -85,6 +85,34 @@ def block(p, x, *, gelu, ln, attn, qknorm, lane_pad):
     B, N, C = x.shape
     D = C // HEADS
     h = _ln(x, p["ln1_s"]) if ln else x
+    if qknorm == "fusedall":
+        # Round-3 production path: LN1 fused into the packed qkv matmul,
+        # residual+LN2 fused into fc1, gelu fused into fc2.
+        from boxdreamer_tpu.ops import fused_matmul as FM
+
+        Dp = 128
+        kw = jnp.pad(
+            p["qkv_w"].reshape(C, 3, HEADS, D), ((0, 0),) * 3 + ((0, Dp - D),)
+        ).reshape(C, 3 * HEADS * Dp)
+        kb = jnp.pad(
+            p["qkv_b"].reshape(3, HEADS, D), ((0, 0), (0, 0), (0, Dp - D))
+        ).reshape(-1)
+        zeros = jnp.zeros((C,), jnp.float32)
+        x2 = x.reshape(B * N, C)
+        qkv2, _ = FM.ln_matmul(x2, None, kw, p["ln1_s"], zeros, kb, 1e-5)
+        o = flash_attention_packed(
+            qkv2.reshape(B, N, 3 * HEADS * Dp), HEADS, D, D**-0.5,
+            (p["qn_w"], p["kn_w"]),
+        )
+        pw = jnp.pad(
+            p["proj_w"].reshape(HEADS, D, C), ((0, 0), (0, Dp - D), (0, 0))
+        ).reshape(HEADS * Dp, C)
+        a = (o.reshape(B * N, HEADS * Dp) @ pw) + p["proj_b"]
+        y, t = FM.ln_matmul(
+            x2, a, p["fc1_w"], p["ln2_s"], zeros, p["fc1_b"], 1e-5
+        )
+        m = FM.gelu_matmul(y, p["fc2_w"], p["fc2_b"])
+        return (t + m).reshape(B, N, C)
     if qknorm == "packed":
         # Copy-free path: lane-padded packed qkv matmul -> packed kernel
         # (BlockSpec index maps read head tiles in place) -> row-padded proj.
@@ -198,6 +226,10 @@ VARIANTS = {
     "prod_packed": dict(
         gelu="fast", ln=True, attn=True, qknorm="packed", lane_pad=False
     ),
+    # packed + all prologue fusions (LN1->qkv, residual+LN2->fc1, gelu->fc2)
+    "prod_fused": dict(
+        gelu="fast", ln=True, attn=True, qknorm="fusedall", lane_pad=False
+    ),
 }
 
 
@@ -213,14 +245,25 @@ def chain_time(fn, p, batch, k_steps, seed):
         (x, acc), _ = jax.lax.scan(body, (x0, jnp.float32(0.0)), None, length=k_steps)
         return acc
 
-    x0 = jax.random.normal(jax.random.PRNGKey(seed), (batch, SEQ, D_MODEL), jnp.bfloat16)
-    out = jax.device_get(chained(p, x0))
+    # DISTINCT input per timed dispatch: the remote transport dedupes
+    # repeated identical dispatches (CLAUDE.md), which made repeated-args
+    # timings collapse to transport RTT (observed: 1.49 "ms/step" for a
+    # 12-layer stack whose matmul ideal alone is ~11 ms).
+    def make_x(r):
+        return jax.random.normal(
+            jax.random.PRNGKey(seed * 101 + r), (batch, SEQ, D_MODEL),
+            jnp.bfloat16,
+        )
+
+    out = jax.device_get(chained(p, make_x(0)))  # compile + warm
+    assert jnp.isfinite(out)
     best = float("inf")
-    for _ in range(3):
+    for r in range(1, 4):
+        x0 = jax.block_until_ready(make_x(r))
         t0 = time.perf_counter()
         out = jax.device_get(chained(p, x0))
         best = min(best, time.perf_counter() - t0)
-    assert jnp.isfinite(out)
+        assert jnp.isfinite(out)
     return best
 
 

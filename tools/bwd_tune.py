@@ -12,7 +12,11 @@ Usage: python tools/bwd_tune.py [--lens 1024 1536 2048 3072]
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -32,12 +36,13 @@ def chain_time(step_fn, args, k_steps):
         (q, _, _, _), _ = jax.lax.scan(body, (q, k, v, g), None, length=k_steps)
         return jnp.sum(q.astype(jnp.float32))
 
-    s = chained(*args)
-    s.block_until_ready()
+    # Time to the FETCHED value: through the axon tunnel block_until_ready
+    # can ack before the work completes (CLAUDE.md) — device_get is the only
+    # honest completion signal.
+    s = float(jax.device_get(chained(*args)))
     t0 = time.perf_counter()
-    s = chained(*args)
-    s.block_until_ready()
-    return (time.perf_counter() - t0) * 1e3, float(s)
+    s = float(jax.device_get(chained(*args)))
+    return (time.perf_counter() - t0) * 1e3, s
 
 
 def run(lens):
