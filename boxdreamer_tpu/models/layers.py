@@ -299,12 +299,14 @@ class TransformerBlock(nn.Module):
     """Pre-LN transformer block (reference SelfAttentionBlock,
     blocks.py:808-886, and DINOv2 NestedTensorBlock when layerscale is on).
 
-    On TPU in bf16, the block runs a FUSED path: LN1 fuses into the qkv
-    matmul, the attention residual add + LN2 fuse into the fc1 matmul
-    (which also emits the residual stream), and the GELU fuses into the fc2
-    matmul (ops/fused_matmul.py) — removing every standalone elementwise
-    HBM pass in the block. The math is identical (f32 LN, the same
-    precision-matched fast GELU bf16 already uses)."""
+    Tried and REVERTED (round 3): a fully prologue-fused path (LN1 into the
+    qkv matmul, residual+LN2 into fc1, gelu into fc2 via
+    ops/fused_matmul.py). Slope-measured honestly (distinct inputs per
+    dispatch) it ran 24.5 vs 19.4 ms/step at the flagship 12-layer shape —
+    XLA's tuned dot beats the naive in-kernel matmul by more than the
+    ~2-3 ms of elementwise HBM passes it saves. The kernels remain in
+    ops/fused_matmul.py (tested, differentiable) via ``use_fused_prologues``
+    for shapes where the trade flips."""
 
     num_heads: int
     mlp_ratio: float = 4.0
@@ -313,6 +315,7 @@ class TransformerBlock(nn.Module):
     ln_eps: float = 1e-5
     layerscale_init: Optional[float] = None  # None => no LayerScale
     dtype: jnp.dtype = jnp.float32
+    use_fused_prologues: bool = False  # see docstring: measured slower
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -331,7 +334,8 @@ class TransformerBlock(nn.Module):
             name="attn",
         )
         fused_ok = (
-            jnp.dtype(self.dtype) == jnp.bfloat16
+            self.use_fused_prologues
+            and jnp.dtype(self.dtype) == jnp.bfloat16
             and _jax.default_backend() == "tpu"
             and x.ndim == 3
         )
