@@ -86,6 +86,8 @@ def build_logger(cfg: ConfigNode):
         use_wandb="wandb" in in_use,
         wandb_project=lg.get("wandb", {}).get("project"),
         use_csv="csv" in in_use,
+        use_neptune="neptune" in in_use,
+        neptune_project=lg.get("neptune", {}).get("project"),
     )
 
 

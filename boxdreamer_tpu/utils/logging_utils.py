@@ -73,6 +73,8 @@ class ExperimentLogger:
         use_wandb: bool = False,
         wandb_project: Optional[str] = None,
         use_csv: bool = False,
+        use_neptune: bool = False,
+        neptune_project: Optional[str] = None,
     ):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
@@ -82,6 +84,16 @@ class ExperimentLogger:
         )
         self._tb = None
         self._wandb = None
+        self._neptune = None
+        if use_neptune:
+            try:
+                import neptune
+
+                self._neptune = neptune.init_run(
+                    project=neptune_project or "boxdreamer_tpu"
+                )
+            except Exception as e:  # noqa: BLE001
+                ERROR(f"neptune unavailable: {e}")
         if use_tensorboard:
             try:
                 from flax.metrics import tensorboard
@@ -110,6 +122,9 @@ class ExperimentLogger:
                 self._tb.scalar(k, v, step)
         if self._wandb is not None:
             self._wandb.log(flat, step=step)
+        if self._neptune is not None:
+            for k, v in flat.items():
+                self._neptune[k].append(v, step=step)
 
     def log_image(self, name: str, image, step: int):
         """image: PIL or HWC uint8 array; always dumped to disk, plus TB."""
@@ -129,6 +144,8 @@ class ExperimentLogger:
             self._tb.close()
         if self._wandb is not None:
             self._wandb.finish()
+        if self._neptune is not None:
+            self._neptune.stop()
 
 
 def safe_operation(exit_on_error: bool = False, barrier: bool = True):
