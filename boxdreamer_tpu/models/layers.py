@@ -188,7 +188,7 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, q_slice: Optional[int] = None,
-                 pre_ln=None):
+                 pre_ln=None, allow_packed: bool = True):
         """``q_slice``: compute outputs only for the LAST ``q_slice`` tokens
         (they still attend over all N keys). Exact for consumers that only
         read those positions — the serving path's final BETR layer, where
@@ -196,7 +196,12 @@ class Attention(nn.Module):
 
         ``pre_ln``: optional (gamma, beta, eps) — x arrives RAW and the
         LayerNorm fuses into the qkv matmul kernel (ops/fused_matmul.py),
-        removing the materialized-normalized-x HBM pass."""
+        removing the materialized-normalized-x HBM pass.
+
+        ``allow_packed``: the packed-layout kernel's VJP recomputes a
+        forward (it saves no LSE), so it only wins when no gradient flows —
+        callers pass ``deterministic`` here (eval/serving True, train
+        False)."""
         from boxdreamer_tpu.ops import attention as attn_ops
         from boxdreamer_tpu.ops import fused_matmul as fused
 
@@ -226,7 +231,11 @@ class Attention(nn.Module):
             )
             return y2.reshape(B, N, kernel.shape[1])
 
-        if q_slice is None and attn_ops.packed_attention_eligible(N, self.qk_norm):
+        if (
+            allow_packed
+            and q_slice is None
+            and attn_ops.packed_attention_eligible(N, self.qk_norm)
+        ):
             Dp = attn_ops._round_up(D, attn_ops.LANE)
             kw = jnp.pad(
                 qkv_kernel.reshape(C, 3, H, D), ((0, 0),) * 3 + ((0, Dp - D),)
@@ -349,7 +358,8 @@ class TransformerBlock(nn.Module):
             (fc1_k, fc1_b), (fc2_k, fc2_b) = _MlpParams(
                 C, int(C * self.mlp_ratio), name="mlp"
             )()
-            h = attn(x, q_slice=q_slice, pre_ln=(g1, b1, self.ln_eps))
+            h = attn(x, q_slice=q_slice, pre_ln=(g1, b1, self.ln_eps),
+                     allow_packed=deterministic)
             if self.layerscale_init is not None:
                 h = LayerScale(self.layerscale_init, name="ls1")(h)
             if q_slice is not None:
@@ -368,7 +378,7 @@ class TransformerBlock(nn.Module):
             return (t + m).reshape(B, N, C)
 
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
-        h = attn(h, q_slice=q_slice)
+        h = attn(h, q_slice=q_slice, allow_packed=deterministic)
         if self.layerscale_init is not None:
             h = LayerScale(self.layerscale_init, name="ls1")(h)
         if q_slice is not None:

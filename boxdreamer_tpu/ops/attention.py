@@ -744,11 +744,15 @@ def flash_attention_bwd_xla(q, k, v, out, lse, g, scale: float):
     return dq, dk, dv
 
 
-# Backward crossover (v5e, slope-measured fwd+bwd at B=8/H=8/D=96): at
-# N=1536 flash-fwd + XLA-lse backward wins over the Pallas backward; the
-# Pallas backward exists for dense-mode lengths where the XLA (N, N)
-# materialization thrashes HBM (N=8192: XLA fwd alone is 225 ms).
-FLASH_BWD_PALLAS_MIN_SEQ_LEN = 2048
+# Backward crossover (v5e, re-measured round 3 with honest fetch-timed
+# slopes + VMEM-safe 1024-cap blocks, tools/bwd_tune.py, B=8/H=8/D=96):
+# the exp2/fold-treated Pallas backward beats the XLA-lse backward at every
+# measured length — N=1536: 2.75 vs 4.95 ms/fwd+bwd; N=2048: 4.53 vs 8.49;
+# N=3072: 9.75 vs XLA scoped-VMEM compile failure. (The previous 2048
+# crossover came from block_until_ready timings the tunnel acks early and
+# 1536-block VMEM pressure.) XLA remains for short sequences where kernel
+# grid overhead dominates.
+FLASH_BWD_PALLAS_MIN_SEQ_LEN = 1024
 
 
 # ---------------------------------------------------------------------------
