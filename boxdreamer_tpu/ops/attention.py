@@ -33,12 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 # Block sweep on v5e at BETR shape (B=8, H=8, N=1536, D=96), slope-measured
-# via tools/kernel_tune.py: (1536, 1536) wins — one program per (batch, head)
+# via tools/kernel_tune.py (round-3 fetch-timed rerun): (512, 1536) wins —
+# 0.55-0.58 ms vs 0.63 for whole-sequence q blocks (the 512-row q tile
+# pipelines against the single KV pass better) and vs XLA 1.8 ms; the
+# single-pass softmax specialization still applies (num_kb == 1).
+# Historical: (1536, 1536) — one program per (batch, head)
 # takes the single-pass softmax specialization (no online-softmax carry) and
 # amortizes program overhead; the (block_q, block_k) f32 score tile (9.4 MB)
 # plus q/k/v/acc still fits VMEM. Larger-N inputs stream KV in 1536-row
 # blocks, bounding VMEM independent of sequence length.
-DEFAULT_BLOCK_Q = 1536
+DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1536
 NEG_INF = -1e30
 

@@ -17,7 +17,11 @@ from __future__ import annotations
 
 import argparse
 import functools
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -40,13 +44,17 @@ def chain_time(fn, args_init, k_steps: int) -> tuple[float, float]:
         (q, _, _), _ = jax.lax.scan(body, (q, k, v), None, length=k_steps)
         return jnp.sum(q.astype(jnp.float32))
 
+    # Fetch-timed with a DISTINCT input per timed dispatch: through the
+    # axon tunnel block_until_ready can ack early and repeated identical
+    # dispatches are deduplicated remotely (see tools/bwd_tune.py /
+    # attend_anatomy.py round-3 notes).
     q, k, v = args_init
-    chained(q, k, v).block_until_ready()  # compile
+    float(jax.device_get(chained(q, k, v)))  # compile + warm
+    q2 = jax.block_until_ready(q + 1e-3)
     t0 = time.perf_counter()
-    s = chained(q, k, v)
-    s.block_until_ready()
+    s = float(jax.device_get(chained(q2, k, v)))
     dt = time.perf_counter() - t0
-    return dt * 1e3, float(s)
+    return dt * 1e3, s
 
 
 def run(B: int, H: int, N: int, D: int) -> None:
