@@ -17,7 +17,7 @@ Numerics parity notes vs the reference:
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Optional
 
 import flax.linen as nn
 import jax

@@ -10,7 +10,7 @@ metrics travel as padded arrays via multihost_utils.process_allgather.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import jax
 import numpy as np

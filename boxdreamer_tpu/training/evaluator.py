@@ -14,7 +14,7 @@ forward+decode+PnP runs on device, and only final poses come back to host.
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
