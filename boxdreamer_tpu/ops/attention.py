@@ -32,18 +32,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
-# Block sweep on v5e at BETR shape (B=8, H=8, N=1536, D=96), slope-measured
-# via tools/kernel_tune.py (round-3 fetch-timed rerun): (512, 1536) wins —
-# 0.55-0.58 ms vs 0.63 for whole-sequence q blocks (the 512-row q tile
-# pipelines against the single KV pass better) and vs XLA 1.8 ms; the
-# single-pass softmax specialization still applies (num_kb == 1).
-# Historical: (1536, 1536) — one program per (batch, head)
+# Block sweep on v5e (slope-measured via tools/kernel_tune.py, round-3
+# fetch-timed): the best q block is LENGTH-DEPENDENT — at the flagship
+# N=1536, bq=512 wins (0.55-0.58 ms vs 0.63 for whole-sequence; the 512-row
+# q tile pipelines against the single KV pass better), while at dense-mode
+# N=8192 whole-1536 q blocks win (8.64 ms / 95 TF/s vs 10.06 for bq=512;
+# fewer KV re-streams). DEFAULT_BLOCK_Q is the short-sequence choice;
+# _default_block_q switches at 2048. The single-pass softmax
+# specialization applies whenever num_kb == 1.
 # takes the single-pass softmax specialization (no online-softmax carry) and
 # amortizes program overhead; the (block_q, block_k) f32 score tile (9.4 MB)
 # plus q/k/v/acc still fits VMEM. Larger-N inputs stream KV in 1536-row
 # blocks, bounding VMEM independent of sequence length.
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 1536
+
+
+def _default_block_q(n_q: int, requested: int) -> int:
+    """Length-dependent q-block default (see sweep notes above); an explicit
+    non-default request is honored as-is."""
+    if requested == DEFAULT_BLOCK_Q and n_q > 2048:
+        return 1536
+    return requested
 NEG_INF = -1e30
 
 
@@ -238,7 +248,7 @@ def flash_attention(
     qk_norm = qk_norm_weights is not None
 
     D_pad = _round_up(D, LANE)
-    block_q = _pick_block(Nq, block_q)
+    block_q = _pick_block(Nq, _default_block_q(Nq, block_q))
     block_k = _pick_block(Nk, block_k)
     Nq_pad = _round_up(Nq, block_q)
     Nk_pad = _round_up(Nk, block_k)
@@ -365,7 +375,7 @@ def flash_attention_packed(
     Dp = _round_up(head_dim, LANE)
     assert packed == 3 * H * Dp, (packed, H, Dp)
     assert N % LANE == 0, f"packed path needs 128-aligned N, got {N}"
-    block_q = _pick_block(N, block_q)
+    block_q = _pick_block(N, _default_block_q(N, block_q))
     block_k = _pick_block(N, block_k)
     num_qb, num_kb = N // block_q, N // block_k
     qk_norm = qk_norm_weights is not None

@@ -66,13 +66,23 @@ def run(B: int, H: int, N: int, D: int) -> None:
     v = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.bfloat16)
     scale = D ** -0.5
 
-    ref = A.mha_reference(q, k, v, scale)
-
     flops_per_call = 4 * B * H * N * N * D  # 2 matmuls, 2 FLOP/MAC (unpadded)
 
-    candidates = {
-        "xla": lambda q, k, v: A.mha_reference(q, k, v, scale),
-    }
+    # The XLA reference materializes the (B, H, N, N) f32 score tensor —
+    # 8.6 GB at B=4/N=8192 (RESOURCE_EXHAUSTED on 16 GB HBM). Beyond ~2 GB,
+    # use the flash kernel itself as the numerics reference and drop the
+    # XLA candidate.
+    scores_bytes = 4 * B * H * N * N
+    if scores_bytes < 2 << 30:
+        ref = A.mha_reference(q, k, v, scale)
+        candidates = {
+            "xla": lambda q, k, v: A.mha_reference(q, k, v, scale),
+        }
+    else:
+        print(f"(skipping XLA reference: scores would be "
+              f"{scores_bytes/2**30:.1f} GiB)")
+        ref = A.flash_attention(q, k, v, scale)
+        candidates = {}
     for bq, bk in [(256, 1536), (512, 512), (512, 1536), (768, 1536), (1536, 1536)]:
         if bq > N or bk > N:
             continue
