@@ -246,6 +246,45 @@ def test_open_image_store_dispatch(tmp_path):
     assert isinstance(open_image_store(str(tmp_path)), BoxPack)
 
 
+def test_named_sub_database(tmp_path):
+    """open_db: a main-db record flagged SUBDATA whose value is a 48-byte
+    MDB_db pointing at its own tree (how lmdb stores named databases)."""
+    b = _Builder()
+    sub_records = {b"/sub/x": b"1", b"/sub/y": b"22"}
+    sub_root, sub_depth = b.build_tree(sub_records)
+    sub_db = struct.pack(
+        "<IHHQQQQQ", 0, 0, sub_depth, 0, 1, 0, len(sub_records), sub_root
+    )
+    # main db: one normal record + the sub-db record (node flag 0x02)
+    main_pg = b._alloc()
+    b.n_leaf += 1
+    b._node_page(
+        main_pg, P_LEAF,
+        [
+            (b"mydb", len(sub_db) & 0xFFFF, 0, 0x02, sub_db),  # F_SUBDATA
+            (b"plain", 1, 0, 0, b"v"),
+        ],
+    )
+    b._meta_page(0, 2, main_pg, 1, 2)
+    b._meta_page(1, 1, P_INVALID, 0, 0)
+    db_path = tmp_path / "data.mdb"
+    with open(db_path, "wb") as f:
+        for pg in range(b.next_pg):
+            f.write(b.pages.get(pg, bytes(b.psize)))
+
+    r = LMDBReader(str(db_path))
+    assert r.get(b"plain") == b"v"
+    sub = r.open_db("mydb")
+    assert r.get(b"/sub/x", db=sub) == b"1"
+    assert r.get(b"/sub/y", db=sub) == b"22"
+    assert r.get(b"/missing", db=sub) is None
+    assert dict(r.items(db=sub)) == sub_records
+    # the cursor walk over MAIN skips the sub-db record (not user data)
+    assert dict(r.items()) == {b"plain": b"v"}
+    with pytest.raises(KeyError):
+        r.open_db("nope")
+
+
 def test_rejects_garbage(tmp_path):
     bad = tmp_path / "bad.mdb"
     bad.write_bytes(b"\x00" * 8192)
