@@ -290,3 +290,45 @@ def test_packed_ad_grads_match_reference():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-4, err_msg=name
         )
+
+
+def test_pick_block_policy():
+    """Blocks are LANE-multiple divisors of the padded length — the N=2048
+    pad-to-3072 trap and in-loop VMEM overflows both came from violating
+    this (round-3)."""
+    for n, req, expect in [
+        (2048, 1536, 1024),  # 1536 would pad 2048 -> 3072 (+50% work)
+        (1536, 1536, 1536),
+        (1536, 512, 512),
+        (261, 1536, 384),   # round_up(261,128)=384
+        (8192, 1536, 1024),  # 8192 % 1536 != 0 -> steps down to 1024
+    ]:
+        got = attention._pick_block(n, req)
+        assert got == expect, (n, req, got)
+        n_pad = attention._round_up(n, attention.LANE)
+        assert n_pad % got == 0 and got % attention.LANE == 0
+
+
+def test_default_block_q_is_length_adaptive():
+    assert attention._default_block_q(1536, attention.DEFAULT_BLOCK_Q) == 512
+    assert attention._default_block_q(8192, attention.DEFAULT_BLOCK_Q) == 1536
+    # explicit non-default requests are honored
+    assert attention._default_block_q(8192, 256) == 256
+
+
+def test_packed_eligibility_predicate(monkeypatch):
+    """Packed path: TPU + flash-length + 128-aligned + qk-norm + no SP
+    scope. (On CPU it must always be off — pallas would fail un-interpreted.)"""
+    assert not attention.packed_attention_eligible(1536, True)  # cpu backend
+    monkeypatch.setattr(
+        attention.jax, "default_backend", lambda: "tpu"
+    )
+    assert attention.packed_attention_eligible(1536, True)
+    assert not attention.packed_attention_eligible(1536, False)  # no qk-norm
+    assert not attention.packed_attention_eligible(512, True)  # short
+    assert not attention.packed_attention_eligible(1540, True)  # unaligned
+    attention._SP_STATE["mesh"] = object()
+    try:
+        assert not attention.packed_attention_eligible(1536, True)  # SP scope
+    finally:
+        attention._SP_STATE["mesh"] = None
