@@ -12,9 +12,13 @@ accumulate_grad_batches).
 Multi-chip: batch shards over the mesh's 'data' axis, weights optionally
 over 'model' (tensor parallel). Multi-host: validation losses and the pose
 metric suite gather across processes (parallel/comm.py fixed-shape
-collectives), so monitor-best checkpointing decides on GLOBAL metrics —
-matching the reference's dist.barrier + rank-0 gather
-(BoxDreamer_lightning_model.py:164-217).
+collectives) with per-process dataset sharding, so monitor-best
+checkpointing decides on GLOBAL metrics — matching the reference's
+dist.barrier + rank-0 gather (BoxDreamer_lightning_model.py:164-217).
+Multi-host TRAINING (per-process batch shards assembled into global arrays
+via make_array_from_process_local_data) is not wired; the train step is
+single-process multi-device, like the reference's single-node DDP default
+(configs/trainer/default.yaml num_nodes: 1).
 """
 
 from __future__ import annotations
