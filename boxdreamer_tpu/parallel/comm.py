@@ -108,6 +108,11 @@ def all_gather_metric_lists(
         return {k: list(v) for k, v in values.items()}
     manifests = _all_gather_manifests({k: len(v) for k, v in values.items()})
     all_keys = sorted(set().union(*[m.keys() for m in manifests]))
+    if not all_keys:
+        # Every process was empty — the manifest collective already kept
+        # the processes aligned, so just return (a zero-size value gather
+        # is not portable across backends).
+        return {}
     max_len = max(
         [length for m in manifests for length in m.values()], default=0
     )

@@ -79,6 +79,17 @@ def main():
     )
     local_indices = [int(i) for b in loader for i in b["idx"]]
 
+    # Edge: an all-empty gather must not deadlock or error (the manifest
+    # collective keeps processes aligned even with zero keys).
+    from boxdreamer_tpu.parallel import comm
+
+    assert comm.all_gather_metric_lists({}) == {}
+    # Key-set asymmetry: only process 0 contributes a key; both must see it.
+    asym = comm.all_gather_metric_lists(
+        {"only0": [1.0, 2.0]} if pid == 0 else {}
+    )
+    assert asym == {"only0": [1.0, 2.0]}, asym
+
     m = run_metrics(local_indices, gather=True)
     out = {
         "pid": pid,
