@@ -203,6 +203,25 @@ class BETR(nn.Module):
         p2 = cfg.patch_size**2
         B, T, P, _ = fuse.shape
 
+        if query_last:
+            # Contract: the query frame IS the last frame. With query_last
+            # the head silently reads the last P tokens, so a violation
+            # produces plausible-looking wrong poses — check whenever masks
+            # is concrete (eager/serving paths; inside jit it's a tracer and
+            # the callers' tests pin the contract instead).
+            import numpy as _np
+
+            try:
+                m_last = _np.asarray(masks[:, -1])
+            except Exception:  # jax tracer — cannot inspect under jit
+                m_last = None
+            if m_last is not None and not bool(m_last.all()):
+                raise ValueError(
+                    "query_last=True requires the query frame to be the "
+                    "LAST frame (masks[:, -1] must be all True); got "
+                    f"{m_last.tolist()}"
+                )
+
         # --- joint attention over all frames' tokens -----------------------------
         x = fuse.reshape(B, T * P, cfg.d_model)
         block_cls = (

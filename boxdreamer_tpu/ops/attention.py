@@ -77,9 +77,13 @@ def mha_reference(q: jax.Array, k: jax.Array, v: jax.Array, scale: float) -> jax
 def _pick_block(n: int, requested: int) -> int:
     """Largest LANE-multiple block <= requested that divides round_up(n,
     LANE) — avoids both pad blowup (N=2048 with a 1536 block would pad to
-    3072, +50% work) and oversized VMEM tiles."""
+    3072, +50% work) and oversized VMEM tiles. An explicit non-LANE-multiple
+    request is rounded DOWN to a LANE multiple first (e.g. 192 -> 128):
+    Mosaic rejects non-lane-multiple minor-dim blocks only at real-chip
+    compile time, so honoring such a request would pass CPU tests and fail
+    on hardware."""
     n_pad = _round_up(n, LANE)
-    b = min(requested, n_pad)
+    b = min(requested - requested % LANE or LANE, n_pad)
     while n_pad % b:
         b -= LANE
     return b

@@ -40,27 +40,38 @@ def flatten_metrics(tree: Dict, prefix: str = "") -> Dict[str, float]:
 
 class CSVWriter:
     """Lightning-CSVLogger-style metrics.csv: one row per log call, header
-    is the union of keys seen so far (file rewritten when new keys appear,
-    matching lightning.fabric CSVLogger semantics)."""
+    is the union of keys seen so far. Rows are APPENDED (O(1) per call);
+    only a header-growing record triggers a full rewrite, and that rewrite
+    goes through a temp file + os.replace so a crash mid-flush can never
+    lose the accumulated history (it either keeps the old file or lands the
+    new one whole)."""
 
     def __init__(self, path: str):
         self.path = path
         self._fields = ["step", "time"]
         self._rows: list = []
+        self._f = None  # open append handle; re-opened after each rewrite
 
     def append(self, rec: Dict[str, Any]):
-        new = [k for k in rec if k not in self._fields]
-        self._fields.extend(new)
-        self._rows.append(rec)
-        self._flush()
-
-    def _flush(self):
         import csv
 
-        with open(self.path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=self._fields)
-            w.writeheader()
-            w.writerows(self._rows)
+        new = [k for k in rec if k not in self._fields]
+        self._rows.append(rec)
+        if new or self._f is None:
+            self._fields.extend(new)
+            if self._f is not None:
+                self._f.close()
+            tmp = self.path + ".tmp"
+            with open(tmp, "w", newline="") as f:
+                w = csv.DictWriter(f, fieldnames=self._fields)
+                w.writeheader()
+                w.writerows(self._rows)
+            os.replace(tmp, self.path)
+            self._f = open(self.path, "a", newline="")
+        else:
+            w = csv.DictWriter(self._f, fieldnames=self._fields)
+            w.writerow(rec)
+            self._f.flush()
 
 
 class ExperimentLogger:
@@ -140,6 +151,9 @@ class ExperimentLogger:
 
     def close(self):
         self._jsonl.close()
+        if self._csv is not None and self._csv._f is not None:
+            self._csv._f.close()
+            self._csv._f = None
         if self._tb is not None:
             self._tb.close()
         if self._wandb is not None:

@@ -174,3 +174,15 @@ def test_betr_query_last_matches_full():
         params, None, None, masks, precomputed_fuse=fuse, query_last=True
     )
     np.testing.assert_allclose(np.asarray(fast), np.asarray(full), atol=1e-6)
+
+    # Contract guard: query NOT last + query_last=True must raise loudly
+    # (eager path; silently reading the wrong frame's tokens is the failure
+    # mode ADVICE round-3 flagged).
+    bad_masks = jnp.zeros((B, T), dtype=bool).at[:, 0].set(True)
+    import pytest
+
+    with pytest.raises(ValueError, match="query_last"):
+        dec.apply(
+            params, None, None, bad_masks, precomputed_fuse=fuse,
+            query_last=True,
+        )

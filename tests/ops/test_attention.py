@@ -302,6 +302,8 @@ def test_pick_block_policy():
         (1536, 512, 512),
         (261, 1536, 384),   # round_up(261,128)=384
         (8192, 1536, 1024),  # 8192 % 1536 != 0 -> steps down to 1024
+        (1536, 192, 128),   # non-LANE request rounds DOWN (Mosaic tiling)
+        (1536, 100, 128),   # sub-LANE request clamps up to one LANE
     ]:
         got = attention._pick_block(n, req)
         assert got == expect, (n, req, got)

@@ -125,6 +125,31 @@ def test_experiment_logger_csv(tmp_path):
     assert rows[1]["acc"] == "0.9" and rows[1]["step"] == "2"
 
 
+def test_csv_writer_appends_without_rewrite(tmp_path):
+    """Stable-header rows APPEND (no O(n^2) rewrite, no truncate window):
+    after the header settles, external appends to the file survive further
+    log calls — they would be wiped by a whole-file rewrite."""
+    from boxdreamer_tpu.utils.logging_utils import CSVWriter
+
+    w = CSVWriter(str(tmp_path / "m.csv"))
+    w.append({"step": 1, "time": 0.0, "loss": 1.0})
+    # sentinel line appended out-of-band: a rewrite would destroy it
+    with open(tmp_path / "m.csv", "a") as f:
+        f.write("#sentinel\n")
+    w.append({"step": 2, "time": 0.0, "loss": 0.5})  # same header -> append
+    w.append({"step": 3, "time": 0.0, "loss": 0.25})
+    text = open(tmp_path / "m.csv").read()
+    assert "#sentinel" in text and text.count("\n") == 5
+    # header growth rewrites (atomically) and drops the sentinel
+    w.append({"step": 4, "time": 0.0, "loss": 0.1, "acc": 0.9})
+    import csv
+
+    rows = list(csv.DictReader(open(tmp_path / "m.csv")))
+    assert [r["step"] for r in rows] == ["1", "2", "3", "4"]
+    assert rows[3]["acc"] == "0.9" and rows[0]["acc"] == ""
+    assert not (tmp_path / "m.csv.tmp").exists()
+
+
 def test_temp_frames_dirs_cleanup(tmp_path):
     from boxdreamer_tpu.utils import video as v
 

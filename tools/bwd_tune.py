@@ -27,7 +27,8 @@ B, H, D = 8, 8, 96
 
 def chain_time(step_fn, args, k_steps):
     @jax.jit
-    def chained(q, k, v, g):
+    def chained(q, k, v, g, salt):
+        q = q + salt.astype(q.dtype)
         def body(carry, _):
             q, k, v, g = carry
             dq, dk, dv = step_fn(q, k, v, g)
@@ -38,10 +39,12 @@ def chain_time(step_fn, args, k_steps):
 
     # Time to the FETCHED value: through the axon tunnel block_until_ready
     # can ack before the work completes (CLAUDE.md) — device_get is the only
-    # honest completion signal.
-    s = float(jax.device_get(chained(*args)))
+    # honest completion signal. The salt makes the warmup and timed dispatch
+    # byte-DISTINCT: identical repeated dispatches appear to be deduplicated
+    # remotely (CLAUDE.md), which made the round-3 timings optimistic.
+    s = float(jax.device_get(chained(*args, jnp.float32(1e-4))))
     t0 = time.perf_counter()
-    s = float(jax.device_get(chained(*args)))
+    s = float(jax.device_get(chained(*args, jnp.float32(2e-4))))
     return (time.perf_counter() - t0) * 1e3, s
 
 
