@@ -198,10 +198,10 @@ class Attention(nn.Module):
         LayerNorm fuses into the qkv matmul kernel (ops/fused_matmul.py),
         removing the materialized-normalized-x HBM pass.
 
-        ``allow_packed``: the packed-layout kernel's VJP recomputes a
-        forward (it saves no LSE), so it only wins when no gradient flows —
-        callers pass ``deterministic`` here (eval/serving True, train
-        False)."""
+        ``allow_packed``: escape hatch for callers that must avoid the
+        packed layout (e.g. cross-attention shapes). The packed VJP saves
+        its forward's out+lse residuals (ops/attention.py:_packed_ad_bwd),
+        so training uses the same packed program serving does."""
         from boxdreamer_tpu.ops import attention as attn_ops
         from boxdreamer_tpu.ops import fused_matmul as fused
 
@@ -359,7 +359,7 @@ class TransformerBlock(nn.Module):
                 C, int(C * self.mlp_ratio), name="mlp"
             )()
             h = attn(x, q_slice=q_slice, pre_ln=(g1, b1, self.ln_eps),
-                     allow_packed=deterministic)
+                     allow_packed=True)
             if self.layerscale_init is not None:
                 h = LayerScale(self.layerscale_init, name="ls1")(h)
             if q_slice is not None:
@@ -378,7 +378,7 @@ class TransformerBlock(nn.Module):
             return (t + m).reshape(B, N, C)
 
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
-        h = attn(h, q_slice=q_slice, allow_packed=deterministic)
+        h = attn(h, q_slice=q_slice, allow_packed=True)
         if self.layerscale_init is not None:
             h = LayerScale(self.layerscale_init, name="ls1")(h)
         if q_slice is not None:

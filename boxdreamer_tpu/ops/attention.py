@@ -350,6 +350,7 @@ def flash_attention_packed(
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
     interpret: bool = False,
+    return_lse: bool = False,
 ):
     """Flash attention over the PACKED, lane-padded QKV projection output.
 
@@ -372,7 +373,9 @@ def flash_attention_packed(
             per-head RMSNorm fuses in-kernel as in :func:`flash_attention`.
 
     Returns:
-        (B, N, H*Dp) attention output (padding lanes zero).
+        (B, N, H*Dp) attention output (padding lanes zero); with
+        ``return_lse`` also the (B, H, N) f32 logsumexp — the residual the
+        training VJP saves so the backward never recomputes a forward.
     """
     B, N, packed = qkv.shape
     H = n_heads
@@ -407,7 +410,25 @@ def flash_attention_packed(
             pl.BlockSpec((1, Dp), lambda g, i, j: (0, 0), memory_space=pltpu.VMEM)
         )
 
-    out = pl.pallas_call(
+    out_specs = [
+        pl.BlockSpec(
+            (1, block_q, Dp), lambda g, i, j: (g // H, i, g % H),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((B, N, H * Dp), qkv.dtype)]
+    if return_lse:
+        # The lse rides its own (B*H, N, 1) buffer indexed by the flat grid
+        # head index — same trailing-singleton trick as flash_attention.
+        out_specs.append(
+            pl.BlockSpec(
+                (1, block_q, 1), lambda g, i, j: (g, i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        out_shapes.append(jax.ShapeDtypeStruct((B * H, N, 1), jnp.float32))
+
+    outs = pl.pallas_call(
         functools.partial(
             _flash_fwd_kernel,
             n_valid=N,
@@ -417,16 +438,13 @@ def flash_attention_packed(
             qk_norm=qk_norm,
             n_valid_d=head_dim,
             fold=scale * LOG2_E,
-            with_lse=False,
+            with_lse=return_lse,
             fold_q=not qk_norm,
         ),
         grid=(B * H, num_qb, num_kb),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (1, block_q, Dp), lambda g, i, j: (g // H, i, g % H),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct((B, N, H * Dp), qkv.dtype),
+        out_specs=out_specs if return_lse else out_specs[0],
+        out_shape=out_shapes if return_lse else out_shapes[0],
         scratch_shapes=[
             pltpu.VMEM((block_q, LANE), jnp.float32),
             pltpu.VMEM((block_q, LANE), jnp.float32),
@@ -434,16 +452,21 @@ def flash_attention_packed(
         ],
         interpret=interpret,
     )(*inputs)
-    return out
+    if return_lse:
+        out, lse = outs
+        return out, lse[:, :, 0].reshape(B, H, N)
+    return outs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def packed_attention_ad(qkv, wq, wk, n_heads, head_dim, scale, interpret=False):
     """Differentiable packed attention with fused qk-RMSNorm.
 
-    Forward = the copy-free packed kernel. Backward unpacks once and reuses
-    the existing qk-norm VJP (recomputing the forward with LSE) — the
-    training step pays ~one extra forward, serving pays nothing.
+    Forward = the copy-free packed kernel, emitting the logsumexp as a
+    residual. Backward unpacks the saved qkv/out once (O(N*D) copies — the
+    same copies the unpacked path pays in its forward) and feeds the saved
+    out/lse straight into the flash backward: NO forward recompute, so
+    training and serving run the identical packed forward program.
     """
     return flash_attention_packed(
         qkv, n_heads, head_dim, scale, qk_norm_weights=(wq, wk),
@@ -452,15 +475,15 @@ def packed_attention_ad(qkv, wq, wk, n_heads, head_dim, scale, interpret=False):
 
 
 def _packed_ad_fwd(qkv, wq, wk, n_heads, head_dim, scale, interpret=False):
-    out = flash_attention_packed(
+    out, lse = flash_attention_packed(
         qkv, n_heads, head_dim, scale, qk_norm_weights=(wq, wk),
-        interpret=interpret,
+        interpret=interpret, return_lse=True,
     )
-    return out, (qkv, wq, wk)
+    return out, (qkv, wq, wk, out, lse)
 
 
 def _packed_ad_bwd(n_heads, head_dim, scale, interpret, residuals, g):
-    qkv, wq, wk = residuals
+    qkv, wq, wk, out, lse = residuals
     B, N, _ = qkv.shape
     H, D = n_heads, head_dim
     Dp = _round_up(D, LANE)
@@ -468,14 +491,21 @@ def _packed_ad_bwd(n_heads, head_dim, scale, interpret, residuals, g):
     q = jnp.transpose(qkv5[:, :, 0], (0, 2, 1, 3))
     k = jnp.transpose(qkv5[:, :, 1], (0, 2, 1, 3))
     v = jnp.transpose(qkv5[:, :, 2], (0, 2, 1, 3))
+    out_t = jnp.transpose(out.reshape(B, N, H, Dp)[..., :D], (0, 2, 1, 3))
     gt = jnp.transpose(g.reshape(B, N, H, Dp)[..., :D], (0, 2, 1, 3))
-    _, vjp = jax.vjp(
-        lambda q, k, v, wq, wk: _flash_attention_qknorm_ad(
-            q, k, v, wq, wk, scale, interpret
-        ),
-        q, k, v, wq, wk,
-    )
-    dq, dk, dv, dwq, dwk = vjp(gt)
+    # The kernel normalized q/k in-register; the backward recomputes the
+    # cheap O(N*D) normalization in XLA (same trade as _flash_qknorm_bwd)
+    # but reuses the saved out/lse for the O(N^2) part.
+    qh = rms_norm(q, wq)
+    kh = rms_norm(k, wk)
+    if N < FLASH_BWD_PALLAS_MIN_SEQ_LEN:
+        dqh, dkh, dv = flash_attention_bwd_xla(qh, kh, v, out_t, lse, gt, scale)
+    else:
+        dqh, dkh, dv = flash_attention_bwd(
+            qh, kh, v, out_t, lse, gt, scale, interpret=interpret
+        )
+    dq, dwq = _rms_norm_bwd(q, wq, dqh)
+    dk, dwk = _rms_norm_bwd(k, wk, dkh)
     d = jnp.stack([dq, dk, dv], axis=0)  # (3, B, H, N, D)
     d = jnp.transpose(d, (1, 3, 0, 2, 4))  # (B, N, 3, H, D)
     d = jnp.pad(d, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Dp - D)))

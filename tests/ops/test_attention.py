@@ -292,6 +292,62 @@ def test_packed_ad_grads_match_reference():
         )
 
 
+def test_packed_lse_matches_unpacked():
+    """The packed kernel's lse output (the training VJP's residual) must
+    equal flash_attention's, including with fused qk-norm."""
+    B, H, N, D = 2, 2, 256, 96
+    q, k, v = make_qkv(jax.random.PRNGKey(11), B=B, H=H, N=N, D=D)
+    ks = jax.random.split(jax.random.PRNGKey(12), 2)
+    wq = jax.random.uniform(ks[0], (D,), jnp.float32, 0.5, 1.5)
+    wk = jax.random.uniform(ks[1], (D,), jnp.float32, 0.5, 1.5)
+    scale = D**-0.5
+    ref_out, ref_lse = attention.flash_attention(
+        q, k, v, scale, interpret=True, return_lse=True,
+        qk_norm_weights=(wq, wk),
+    )
+    out, lse = attention.flash_attention_packed(
+        _pack_qkv(q, k, v), H, D, scale, (wq, wk),
+        interpret=True, return_lse=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(_unpack_out(out, H, D)), np.asarray(ref_out), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse), atol=2e-5)
+
+
+def test_packed_ad_pallas_bwd_path():
+    """At N >= FLASH_BWD_PALLAS_MIN_SEQ_LEN the packed VJP rides the Pallas
+    backward on the SAVED out/lse (no forward recompute); grads must still
+    match the reference composition."""
+    B, H, N, D, Dp = 1, 1, attention.FLASH_BWD_PALLAS_MIN_SEQ_LEN, 96, 128
+    q, k, v = make_qkv(jax.random.PRNGKey(13), B=B, H=H, N=N, D=D)
+    ks = jax.random.split(jax.random.PRNGKey(14), 2)
+    wq = jax.random.uniform(ks[0], (D,), jnp.float32, 0.5, 1.5)
+    wk = jax.random.uniform(ks[1], (D,), jnp.float32, 0.5, 1.5)
+    scale = D**-0.5
+    qkv = _pack_qkv(q, k, v)
+
+    def loss_packed(qkv, wq, wk):
+        o = attention.packed_attention_ad(qkv, wq, wk, H, D, scale, True)
+        return jnp.sum(jnp.sin(o))
+
+    def loss_ref(qkv, wq, wk):
+        q5 = qkv.reshape(B, N, 3, H, Dp)[..., :D]
+        qq, kk, vv = (jnp.transpose(q5[:, :, s], (0, 2, 1, 3)) for s in range(3))
+        o = attention.mha_reference(_rms_ref(qq, wq), _rms_ref(kk, wk), vv, scale)
+        o = jnp.pad(
+            jnp.transpose(o, (0, 2, 1, 3)), ((0, 0),) * 3 + ((0, Dp - D),)
+        ).reshape(B, N, H * Dp)
+        return jnp.sum(jnp.sin(o))
+
+    g1 = jax.grad(loss_packed, argnums=(0, 1, 2))(qkv, wq, wk)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, wq, wk)
+    for a, b, name in zip(g1, g2, ("dqkv", "dwq", "dwk")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, err_msg=name
+        )
+
+
 def test_pick_block_policy():
     """Blocks are LANE-multiple divisors of the padded length — the N=2048
     pad-to-3072 trap and in-loop VMEM overflows both came from violating
