@@ -95,8 +95,14 @@ def make_train_step(
     model: BoxDreamer,
     loss: Loss,
     tx: optax.GradientTransformation,
+    deterministic: bool = False,
 ) -> Callable:
-    """Build the jitted train step."""
+    """Build the jitted train step.
+
+    ``deterministic=True`` disables dropout inside the forward — used by the
+    twin-training dynamics golden (tests/parity/test_train_twin.py), which
+    compares loss trajectories against the real reference trainer where
+    stochastic dropout cannot be seed-matched across frameworks."""
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         batch = ensure_bbox_feat(batch, model)
@@ -113,7 +119,7 @@ def make_train_step(
                 batch["images"],
                 batch["bbox_feat"],
                 camera_mask,
-                deterministic=False,
+                deterministic=deterministic,
                 rngs={"dropout": rng},
             )
             data = dict(batch)
