@@ -10,15 +10,20 @@ SIGINT/SIGTERM), and gradient accumulation via optax.MultiSteps (reference
 accumulate_grad_batches).
 
 Multi-chip: batch shards over the mesh's 'data' axis, weights optionally
-over 'model' (tensor parallel). Multi-host: validation losses and the pose
-metric suite gather across processes (parallel/comm.py fixed-shape
-collectives) with per-process dataset sharding, so monitor-best
-checkpointing decides on GLOBAL metrics — matching the reference's
-dist.barrier + rank-0 gather (BoxDreamer_lightning_model.py:164-217).
-Multi-host TRAINING (per-process batch shards assembled into global arrays
-via make_array_from_process_local_data) is not wired; the train step is
-single-process multi-device, like the reference's single-node DDP default
-(configs/trainer/default.yaml num_nodes: 1).
+over 'model' (tensor parallel). Multi-host: the mesh spans every process's
+devices; each process loads its DataLoader stride-shard of the global batch
+and `fit` assembles them into global arrays via
+jax.make_array_from_process_local_data, so ONE jitted train step runs
+GSPMD across hosts — the TPU-pod equivalent of the reference's
+node-scalable DDP (configs/trainer/default.yaml num_nodes). Validation
+losses and the pose metric suite gather across processes (parallel/comm.py
+fixed-shape collectives), so monitor-best checkpointing decides on GLOBAL
+metrics — matching the reference's dist.barrier + rank-0 gather
+(BoxDreamer_lightning_model.py:164-217). Checkpoint saves are called on
+EVERY process with the same directory (orbax coordinates the multihost
+write internally; a rank-0-only call deadlocks on its barrier). Proven by
+a real 2-process CPU run in tests/parallel/test_multihost.py (train +
+eval cases).
 """
 
 from __future__ import annotations
@@ -180,21 +185,49 @@ class Trainer:
         max_steps: Optional[int] = None,
     ) -> TrainState:
         cfg = self.cfg
+        n_proc = jax.process_count()
+        per_proc_bs = cfg.batch_size
+        if n_proc > 1:
+            if cfg.batch_size % n_proc != 0:
+                raise ValueError(
+                    f"global batch {cfg.batch_size} must divide over "
+                    f"{n_proc} processes"
+                )
+            per_proc_bs = cfg.batch_size // n_proc
         loader = DataLoader(
             train_dataset,
-            batch_size=cfg.batch_size,
+            batch_size=per_proc_bs,
             shuffle=True,
             num_workers=cfg.num_workers,
             drop_last=True,
             seed=cfg.seed,
+            shard_across_processes=n_proc > 1,
         )
+        batch_sharding = mesh_lib.batch_sharding(self.mesh)
+
+        def to_global(batch) -> Dict:
+            """Process-local host batch -> global device arrays on the mesh.
+
+            Single-process: a plain sharded device_put. Multi-host: each
+            process contributes its local rows of the global batch
+            (jax.make_array_from_process_local_data), after which the
+            GSPMD-jitted step runs across all hosts."""
+            arrs = {
+                k: np.asarray(batch[k]) for k in _TRAIN_KEYS if k in batch
+            }
+            if n_proc == 1:
+                return jax.device_put(arrs, batch_sharding)
+            return {
+                k: jax.make_array_from_process_local_data(batch_sharding, v)
+                for k, v in arrs.items()
+            }
+
         first = next(iter(loader))
-        sample = {k: jnp.asarray(first[k]) for k in _TRAIN_KEYS if k in first}
+        sample = to_global(first)
         self.state = self._init_state(sample, resume_path, pretrained_path)
         self._install_signal_handlers()
 
         step_fn = make_train_step(self.model, self.train_loss, self._tx)
-        batch_sharding = mesh_lib.batch_sharding(self.mesh)
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
         total_steps = 0
@@ -202,10 +235,7 @@ class Trainer:
         try:
             for epoch in range(cfg.max_epochs):
                 for batch in loader:
-                    device_batch = jax.device_put(
-                        {k: batch[k] for k in _TRAIN_KEYS if k in batch},
-                        batch_sharding,
-                    )
+                    device_batch = to_global(batch)
                     rng, sub = jax.random.split(rng)
                     self.state, metrics = step_fn(self.state, device_batch, sub)
                     total_steps += 1
@@ -253,6 +283,9 @@ class Trainer:
         except StopIteration:
             pass
         finally:
+            # Every process calls the orbax save (same directory): orbax
+            # coordinates multihost writes itself — a single-process save
+            # under jax.distributed deadlocks on its internal barrier.
             self.ckpt.save_last(jax.device_get(self.state))
             self.ckpt.wait()
         return self.state

@@ -51,8 +51,70 @@ def run_metrics(indices, gather):
     return m
 
 
+def _train_sample(i, T=3, S=28):
+    """Deterministic tiny train sample (index-derived, no RNG)."""
+    import numpy as np
+
+    r = np.random.default_rng(1000 + i)
+    return {
+        "images": r.uniform(0, 1, (T, 3, S, S)).astype(np.float32),
+        "bbox_feat": r.uniform(-1, 1, (T, 8, S, S)).astype(np.float32),
+        "query_idx": np.int32(T - 1),
+    }
+
+
+def run_training(out_dir, tag):
+    """Train 4 steps with the REAL Trainer.fit at tiny geometry; return the
+    per-step losses. Under jax.distributed this exercises the multi-host
+    path (per-process loader shards -> make_array_from_process_local_data ->
+    one GSPMD train step); single-process it is the plain path the
+    trajectories must match."""
+    from boxdreamer_tpu.models.betr import BETRConfig
+    from boxdreamer_tpu.models.boxdreamer import BoxDreamer, BoxDreamerConfig
+    from boxdreamer_tpu.models.dinov2 import DinoViTConfig
+    from boxdreamer_tpu.training.loss import Loss
+    from boxdreamer_tpu.training.optim import OptimConfig
+    from boxdreamer_tpu.training.trainer import Trainer, TrainerConfig
+
+    class ToyTrainDataset:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            return _train_sample(i)
+
+    model = BoxDreamer(
+        BoxDreamerConfig(
+            betr=BETRConfig(
+                dtype="float32", num_decoder_layers=1, img_size=28,
+                adapter_dropout=0.0,
+            ),
+            dino=DinoViTConfig(dtype="float32", depth=1, img_size=28),
+        )
+    )
+    trainer = Trainer(
+        model,
+        train_loss=Loss(),
+        val_loss=Loss(),
+        optim_cfg=OptimConfig(use_warmup=False, lr=1e-3),
+        trainer_cfg=TrainerConfig(
+            max_epochs=5,
+            batch_size=4,  # GLOBAL batch; 2 rows per process when sharded
+            num_workers=0,
+            log_every_n_steps=1,
+            checkpoint_every_n_steps=10**9,
+            check_val_every_n_epoch=10**9,
+            checkpoint_dir=os.path.join(out_dir, "ckpt_shared" if tag.startswith("proc") else f"ckpt_{tag}"),
+            mesh_model=1,
+            seed=0,
+        ),
+    )
+    trainer.fit(ToyTrainDataset(), max_steps=4)
+    return [rec["loss"] for rec in trainer._history]
+
+
 def main():
-    pid = int(sys.argv[1])
+    pid = sys.argv[1]
     port = sys.argv[2]
     out_dir = sys.argv[3]
     n_samples = 12
@@ -60,6 +122,15 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    if pid == "single":
+        # Single-process twin for the training-trajectory comparison.
+        losses = run_training(out_dir, "single")
+        with open(os.path.join(out_dir, "out_single.json"), "w") as f:
+            json.dump({"train_losses": losses}, f, default=float)
+        return
+
+    pid = int(pid)
     jax.distributed.initialize(
         coordinator_address=f"localhost:{port}", num_processes=2, process_id=pid
     )
@@ -91,6 +162,7 @@ def main():
     assert asym == {"only0": [1.0, 2.0]}, asym
 
     m = run_metrics(local_indices, gather=True)
+    train_losses = run_training(out_dir, f"proc{pid}")
     out = {
         "pid": pid,
         "local_indices": local_indices,
@@ -99,6 +171,7 @@ def main():
         "pose_record_paths": sorted(
             p for cat in m._pose_records for p in m._pose_records[cat]
         ),
+        "train_losses": train_losses,
     }
     with open(os.path.join(out_dir, f"out_{pid}.json"), "w") as f:
         json.dump(out, f, default=float)

@@ -85,3 +85,35 @@ def test_both_processes_agree(two_process_outputs):
     o0, o1 = two_process_outputs
     assert o0["aggregate"] == o1["aggregate"]
     assert o0["R_errs_all_sorted"] == o1["R_errs_all_sorted"]
+
+
+def test_multihost_training_matches_single_process(
+    two_process_outputs, tmp_path
+):
+    """Multi-host TRAINING proof: Trainer.fit over a 2-process mesh (global
+    batch assembled with make_array_from_process_local_data, one GSPMD
+    train step) produces the same 4-step loss trajectory as the plain
+    single-process run — the rows of each global batch are the same sample
+    SET on both paths (the stride shard permutes them; batch means are
+    permutation-invariant), so only reduction-order rounding may differ."""
+    o0, o1 = two_process_outputs
+    assert o0["train_losses"] == pytest.approx(o1["train_losses"], rel=1e-6)
+
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env.pop("JAX_PLATFORMS", None)
+    out_dir = str(tmp_path)
+    p = subprocess.run(
+        [sys.executable, WORKER, "single", "0", out_dir],
+        env=env,
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        timeout=300,
+    )
+    assert p.returncode == 0, f"single worker failed:\n{p.stdout.decode()}"
+    with open(os.path.join(out_dir, "out_single.json")) as f:
+        single = json.load(f)
+    assert len(single["train_losses"]) == 4
+    assert o0["train_losses"] == pytest.approx(
+        single["train_losses"], rel=1e-5
+    )
