@@ -74,6 +74,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     distributed.initialize()
 
     cfg = load_config(args.config_dir, args.config_name, args.overrides)
+    from boxdreamer_tpu.utils.config import print_key_configs
+
+    print_key_configs(cfg)  # reference run.py:57
     model, trainer = build_everything(cfg)
 
     mode = cfg.get("mode", "test")

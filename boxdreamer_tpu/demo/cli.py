@@ -28,6 +28,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     parser.add_argument("--export-video", action="store_true",
                         help="write tracked.avi overlay video (MJPEG)")
     parser.add_argument("--video-fps", type=float, default=15.0)
+    parser.add_argument("--rerun", action="store_true",
+                        help="live Rerun visualization (needs rerun-sdk)")
     args = parser.parse_args(argv)
 
     import jax
@@ -62,6 +64,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         image_size=S, num_refs=args.num_refs, segmenter=args.segmenter,
         frame_stride=args.stride,
         export_video=args.export_video, video_fps=args.video_fps,
+        use_rerun=args.rerun,
     )
     pipeline = DemoPipeline(model, params, cfg, segmenter=segmenter)
     pipeline.run(args.frames, args.output)

@@ -50,6 +50,9 @@ class DemoConfig:
     # MJPEG-AVI so it works without ffmpeg).
     export_video: bool = False
     video_fps: float = 15.0
+    # Rerun live visualization (reference demo.py --rerun flag; gated on the
+    # SDK being installed — see demo/rerun_log.py).
+    use_rerun: bool = False
 
 
 def load_frames(path: str, stride: int = 1) -> List[str]:
@@ -201,6 +204,12 @@ class DemoPipeline:
         )
         ref_bbox_feat = pp.make_heatmap_features_np(ref_proj, S, S)
 
+        rr = None
+        if cfg.use_rerun:
+            from boxdreamer_tpu.demo import rerun_log
+
+            rr = rerun_log.init_rerun()
+
         predictor = Predictor(self.model, self.params)
         predictor.set_references(
             jnp.asarray(ref_crops)[None],
@@ -222,6 +231,17 @@ class DemoPipeline:
             overlay = vis.draw_projected_box(crop, K_crop, pose, bbox_3d)
             overlay.save(os.path.join(output_dir, f"overlay_{idx:04d}.png"))
             overlays.append(np.asarray(overlay.convert("RGB")))
+            if rr is not None:
+                from boxdreamer_tpu.demo import rerun_log
+
+                rerun_log.log_frame(
+                    rr, idx, crop.transpose(1, 2, 0),
+                    ref_images=[c.transpose(1, 2, 0) for c in ref_crops]
+                    if idx == 0 else None,
+                    pose=pose, intrinsics=K_crop, bbox_3d=bbox_3d,
+                    fps=fps,
+                    points=result.get("points") if idx == 0 else None,
+                )
             results.append({"pose": pose, "fps": fps})
         valid_fps = [r["fps"] for r in results if r["fps"]]
         INFO(

@@ -159,3 +159,25 @@ def load_config(
             break
         cfg = new
     return _wrap(cfg)
+
+
+def print_key_configs(cfg, file=None):
+    """Print the most important config values as a small tree — the
+    reference's rich-tree print_key_configs
+    (src/utils/customize/template_utils.py:27-47); rich is absent from this
+    image, so plain box-drawing output (same keys, same order)."""
+    import sys
+
+    file = file or sys.stdout
+    rows = [
+        ("Exp name", cfg.get("exp_name", "None")),
+        ("Mode", cfg.get("mode", "None")),
+        ("Resume", cfg.get("resume", "None")),
+        ("Use pretrain", cfg.get("use_pretrained", "None")),
+        ("Precision", cfg.get("precision", "None")),
+        ("Batch size", _lookup(cfg, "datamodule.batch_size", "None")),
+    ]
+    print("⚙ KEY CONFIG", file=file)
+    for i, (k, v) in enumerate(rows):
+        branch = "└──" if i == len(rows) - 1 else "├──"
+        print(f"{branch} {k}: {v}", file=file)

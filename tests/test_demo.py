@@ -115,3 +115,54 @@ def test_demo_load_frames_avi(tmp_path):
     files = load_frames(avi, stride=2)
     assert len(files) == 3
     assert all(f.endswith(".png") for f in files)
+
+
+def test_rerun_log_frame_under_mock():
+    """demo/rerun_log.py parity with reference log_to_rerun
+    (demo.py:1007-1104): entity paths, box edges, camera transform+pinhole,
+    FPS fallback chain — exercised under a mocked rerun module (the SDK is
+    absent from this image, exactly the gated path)."""
+    import types
+
+    from boxdreamer_tpu.demo import rerun_log
+
+    calls = []
+
+    class _Rec:
+        def __init__(self, name):
+            self.name = name
+
+        def __call__(self, *a, **k):
+            return (self.name, a, k)
+
+    rr = types.SimpleNamespace(
+        set_time_sequence=lambda *a: calls.append(("time", a)),
+        log=lambda path, payload: calls.append((path, payload)),
+        Image=_Rec("Image"),
+        Points3D=_Rec("Points3D"),
+        LineStrips3D=_Rec("LineStrips3D"),
+        Transform3D=_Rec("Transform3D"),
+        Pinhole=_Rec("Pinhole"),
+        # No TimeSeriesScalar/Scalar attrs -> exercises the TextLog fallback.
+        TextLog=_Rec("TextLog"),
+    )
+
+    frame = np.zeros((28, 28, 3), np.float32)
+    pose = np.eye(4)
+    K = np.array([[100.0, 0, 14], [0, 100, 14], [0, 0, 1]])
+    box = np.random.default_rng(0).normal(size=(8, 3))
+    rerun_log.log_frame(
+        rr, 5, frame, ref_images=[frame, frame], pose=pose, intrinsics=K,
+        bbox_3d=box, fps=12.0, points=np.zeros((4, 3)),
+    )
+    paths = [c[0] for c in calls]
+    assert ("time", ("frame", 5)) in calls
+    for expected in ("query/image", "references/ref_0", "references/ref_1",
+                     "3d/point_cloud", "3d/bbox", "3d/camera",
+                     "3d/camera/pinhole", "stats/fps_text"):
+        assert expected in paths, (expected, paths)
+    # Box edges: 12 strips, each a corner pair (reference demo.py:1050-1069).
+    strips = dict(calls)["3d/bbox"][1][0]
+    assert len(strips) == 12 and len(strips[0]) == 2
+    # init_rerun gates on the missing SDK without raising.
+    assert rerun_log.init_rerun() is None

@@ -187,3 +187,32 @@ def test_metric_curves_cli(tmp_path):
     out = str(tmp_path / "curves.png")
     assert figures.main(["curves", str(spec), "--output", out]) == 0
     assert os.path.getsize(out) > 1000
+
+
+def test_data_analyse_cli(tmp_path):
+    """data_analyse parity (ref src/utils/data_analyse.py:1-206): pose
+    angle/translation stats over a registered adapter."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "data"))
+    from fixture import make_linemod_fixture
+
+    from boxdreamer_tpu.tools import data_analyse
+
+    root = make_linemod_fixture(str(tmp_path / "lm"), n_train=8, n_test=4)
+    out = str(tmp_path / "stats")
+    data_analyse.main(
+        [
+            "--dataset", "LINEMOD", "--root", root, "--split", "test",
+            "--length", "3", "--stride", "1", "--coordinate", "object",
+            "--out", out,
+        ]
+    )
+    with open(os.path.join(out, "angles.json")) as f:
+        angles = json.load(f)
+    with open(os.path.join(out, "translation.json")) as f:
+        trans = json.load(f)
+    assert angles["count"] > 0
+    assert 0.0 <= angles["min"] <= angles["mean"] <= angles["max"] <= 360.0
+    assert len(trans["mean"]) == 3 and len(trans["std"]) == 3
+    assert os.path.exists(os.path.join(out, "angles.png"))
