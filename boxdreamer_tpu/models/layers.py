@@ -198,10 +198,15 @@ class Attention(nn.Module):
         LayerNorm fuses into the qkv matmul kernel (ops/fused_matmul.py),
         removing the materialized-normalized-x HBM pass.
 
-        ``allow_packed``: escape hatch for callers that must avoid the
-        packed layout (e.g. cross-attention shapes). The packed VJP saves
-        its forward's out+lse residuals (ops/attention.py:_packed_ad_bwd),
-        so training uses the same packed program serving does."""
+        ``allow_packed``: serving-only dispatch switch. The packed VJP
+        saves its forward's out+lse residuals (no forward recompute,
+        ops/attention.py:_packed_ad_bwd), but an honest A/B of the 12-layer
+        train stack at flagship B8/N1536 (chain-slope, fetch-timed,
+        round 4) measured packed 79.96 vs unpacked 77.25 ms/step: the
+        backward's dq/dk/dv repack transposes outweigh the forward's
+        copy-free reads when gradients flow. Callers therefore pass
+        ``deterministic`` here — packed serves eval/serving, the unpacked
+        flash path trains."""
         from boxdreamer_tpu.ops import attention as attn_ops
         from boxdreamer_tpu.ops import fused_matmul as fused
 
@@ -359,7 +364,7 @@ class TransformerBlock(nn.Module):
                 C, int(C * self.mlp_ratio), name="mlp"
             )()
             h = attn(x, q_slice=q_slice, pre_ln=(g1, b1, self.ln_eps),
-                     allow_packed=True)
+                     allow_packed=deterministic)
             if self.layerscale_init is not None:
                 h = LayerScale(self.layerscale_init, name="ls1")(h)
             if q_slice is not None:
@@ -378,7 +383,7 @@ class TransformerBlock(nn.Module):
             return (t + m).reshape(B, N, C)
 
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
-        h = attn(h, q_slice=q_slice, allow_packed=True)
+        h = attn(h, q_slice=q_slice, allow_packed=deterministic)
         if self.layerscale_init is not None:
             h = LayerScale(self.layerscale_init, name="ls1")(h)
         if q_slice is not None:

@@ -115,6 +115,25 @@ class Loss:
             if t.type not in _ELEMENTWISE and t.type not in _SCALAR:
                 raise ValueError(f"Unsupported loss type: {t.type}")
 
+    @property
+    def query_frame_only(self) -> bool:
+        """True when every term is an elementwise pred_bbox-vs-bbox_feat
+        loss with zero reference-frame weight — the reference's default
+        training loss. Then the loss depends ONLY on the query frame, and
+        the train step may evaluate it on (B, 1, ...) query slices instead
+        of scattering the prediction into the full (B, T, c, H, W) tensor
+        (exact: _masked_mean's numerator and denominator both restrict to
+        mask==True entries). At flagship shape the full-tensor path moves
+        ~2 GB/step of HBM for values the mask then zeroes."""
+        return all(
+            t.type in _ELEMENTWISE
+            and t.weight[1] == 0.0
+            and t.pred_key == "pred_bbox"
+            and t.gt_key == "bbox_feat"
+            and t.mask_key == "camera_mask"
+            for t in self.terms
+        )
+
     def __call__(self, data: Dict[str, jax.Array]):
         total = jnp.asarray(0.0, dtype=jnp.float32)
         details: Dict[str, jax.Array] = {}

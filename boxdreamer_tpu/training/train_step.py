@@ -122,6 +122,21 @@ def make_train_step(
                 deterministic=deterministic,
                 rngs={"dropout": rng},
             )
+            if loss.query_frame_only and not needs_regression_boxes:
+                # Query-only fast path (exact — see Loss.query_frame_only):
+                # evaluate the masked loss on (B, 1, ...) query slices
+                # instead of scattering the prediction into a full
+                # (B, T, c, H, W) copy the mask immediately zeroes.
+                B = pred.shape[0]
+                q = batch["query_idx"].reshape(B, 1, 1, 1, 1)
+                gt_q = jnp.take_along_axis(batch["bbox_feat"], q, axis=1)
+                return loss(
+                    {
+                        "pred_bbox": pred[:, None],
+                        "bbox_feat": gt_q,
+                        "camera_mask": jnp.ones((B, 1), dtype=bool),
+                    }
+                )
             data = dict(batch)
             data["pred_bbox"] = scatter_query_prediction(
                 batch["bbox_feat"], pred, camera_mask

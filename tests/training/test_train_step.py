@@ -124,3 +124,45 @@ def test_device_bbox_feat_generation():
     step = make_train_step(model, _Loss(), tx)
     state, m = step(state, batch_device, jax.random.PRNGKey(9))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_query_only_loss_fast_path_exact():
+    """The train step's query-only loss fast path (Loss.query_frame_only)
+    must equal the scatter-into-full-tensor composition bit-for-bit in f32."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boxdreamer_tpu.models.boxdreamer import camera_mask_from_query_idx
+    from boxdreamer_tpu.training.loss import Loss, LossTerm
+    from boxdreamer_tpu.training.train_step import scatter_query_prediction
+
+    B, T, c, S = 3, 4, 8, 16
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    bbox_feat = jax.random.uniform(ks[0], (B, T, c, S, S)) * 2 - 1
+    pred = jax.random.uniform(ks[1], (B, c, S, S)) * 2 - 1
+    query_idx = jnp.array([1, 3, 0])
+    cmask = camera_mask_from_query_idx(query_idx, T)
+    loss = Loss([LossTerm()])
+    assert loss.query_frame_only
+
+    full, _ = loss(
+        {
+            "pred_bbox": scatter_query_prediction(bbox_feat, pred, cmask),
+            "bbox_feat": bbox_feat,
+            "camera_mask": cmask,
+        }
+    )
+    q = query_idx.reshape(B, 1, 1, 1, 1)
+    fast, _ = loss(
+        {
+            "pred_bbox": pred[:, None],
+            "bbox_feat": jnp.take_along_axis(bbox_feat, q, axis=1),
+            "camera_mask": jnp.ones((B, 1), dtype=bool),
+        }
+    )
+    np.testing.assert_allclose(float(fast), float(full), rtol=1e-6)
+
+    # Non-default terms must NOT take the fast path.
+    assert not Loss([LossTerm(weight=(1.0, 0.5))]).query_frame_only
+    assert not Loss([LossTerm(type="focal")]).query_frame_only
