@@ -30,7 +30,23 @@ from boxdreamer_tpu.ops import pnp as pnp_ops
 
 @dataclasses.dataclass(frozen=True)
 class DenseConfig:
-    """Mirrors configs/model/transformer.yaml dense_cfg (reference :25-34)."""
+    """Mirrors configs/model/transformer.yaml dense_cfg (reference :25-34).
+
+    Defaults are pinned by on-chip measurement (tools/dense_bench.py, v5e,
+    batch 8, 25 refs, chain-slope fetch-timed, round 4):
+
+    * filter_enable=True + multi_round=False (DINO-filter 25 refs to top-5,
+      one 6-frame decode): 19.1 ms/query — the fastest configuration and
+      the production default.
+    * multi_round=True (5 sub-batches of 5 + pooled-proposal RANSAC):
+      36.7 ms/query; dense_mem_friendly=True (lax.map) 38.7 — ~5% slower,
+      opt-in for VMEM-constrained shapes only.
+    * single-shot over ALL 25 refs (26*256 = 6656 tokens, batch 1):
+      54.8 ms/query on ONE device — comfortably within a single chip's
+      budget, so sp_min_len=4096 only routes genuinely long sequences to
+      ring attention; per-device ring steps below that length would be
+      latency-dominated (ppermute per KV block) rather than compute-bound.
+    """
 
     enable: bool = False
     filter_enable: bool = True

@@ -194,3 +194,22 @@ def test_betr_diff_emb_path():
     assert "input_ref_emb" in params["params"]
     out = model.apply(params, pose_feat, rgbs, masks, None)
     assert out.shape == (B, 8, 28, 28)
+
+
+def test_dense_defaults_pinned_by_chip_measurement():
+    """Default DenseConfig must stay the measured-fastest dense configuration.
+
+    tools/dense_bench.py (v5e, batch 8, 25 refs, chain-slope fetch-timed,
+    round 4) measured per-query decode cost:
+      filter+single-shot 19.1 ms < multi-round 36.7 ms
+      < multi-round mem-friendly 38.7 ms; single-shot over all 25 refs
+      (6656 tokens) runs in 54.8 ms on ONE chip, so ring/SP sharding below
+      sp_min_len=4096 tokens would be ppermute-latency-dominated.
+    Changing any of these defaults requires re-running dense_bench and
+    updating the DenseConfig docstring with the new numbers.
+    """
+    cfg = D.DenseConfig()
+    assert cfg.filter_enable and cfg.filter == "dino" and cfg.filter_topk == 5
+    assert not cfg.multi_round
+    assert not cfg.dense_mem_friendly
+    assert cfg.sp_min_len == 4096
