@@ -124,7 +124,9 @@ class Loss:
         of scattering the prediction into the full (B, T, c, H, W) tensor
         (exact: _masked_mean's numerator and denominator both restrict to
         mask==True entries). At flagship shape the full-tensor path moves
-        ~2 GB/step of HBM for values the mask then zeroes."""
+        ~0.5 GB/step of HBM (the 77 MB (8,6,8,224,224) f32 tensor across
+        scatter-write, loss read, and backward passes) for values the mask
+        then zeroes."""
         return all(
             t.type in _ELEMENTWISE
             and t.weight[1] == 0.0

@@ -43,7 +43,6 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
-import optax
 
 N_REFS = 5
 SIZE = 224
@@ -96,13 +95,11 @@ def _compiled_flops(compiled) -> float:
 
 def main():
     from boxdreamer_tpu.models import BoxDreamer, BoxDreamerConfig
-    from boxdreamer_tpu.models.boxdreamer import camera_mask_from_query_idx
     from boxdreamer_tpu.training.loss import Loss
     from boxdreamer_tpu.training.optim import OptimConfig
     from boxdreamer_tpu.training.train_step import (
-        TrainState,
         create_train_state,
-        scatter_query_prediction,
+        make_train_step,
     )
 
     def stage(msg):
@@ -133,6 +130,12 @@ def main():
     sample = make_batch(ks[0])
     state, tx = create_train_state(model, optim_cfg, ks[1], sample)
 
+    # The PRODUCTION step (boxdreamer_tpu.training.train_step) — the bench
+    # must time shipped code, incl. its dispatch choices (query-only loss
+    # fast path, unpacked flash attention in training). Its inner jit
+    # inlines under the chain trace.
+    step_fn = make_train_step(model, loss, tx)
+
     def train_chain(state, step_keys, rng):
         """K serialized full train steps in ONE dispatch. The TrainState
         threads through the scan — a true data dependency (params at step
@@ -143,34 +146,8 @@ def main():
             state, rng = carry
             batch = make_batch(step_key)
             step_rng = jax.random.fold_in(rng, state.step)
-            Tn = batch["images"].shape[1]
-            camera_mask = camera_mask_from_query_idx(batch["query_idx"], Tn)
-
-            def loss_fn(params):
-                pred = model.apply(
-                    params,
-                    batch["images"],
-                    batch["bbox_feat"],
-                    camera_mask,
-                    deterministic=False,
-                    rngs={"dropout": step_rng},
-                )
-                data = dict(batch)
-                data["pred_bbox"] = scatter_query_prediction(
-                    batch["bbox_feat"], pred, camera_mask
-                )
-                data["camera_mask"] = camera_mask
-                return loss(data)
-
-            (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                state.params
-            )
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = optax.apply_updates(state.params, updates)
-            new_state = TrainState(
-                step=state.step + 1, params=new_params, opt_state=new_opt
-            )
-            return (new_state, rng), total
+            new_state, metrics = step_fn(state, batch, step_rng)
+            return (new_state, rng), metrics["loss"]
 
         (state, _), losses = jax.lax.scan(step, (state, rng), step_keys)
         return state, losses
