@@ -45,6 +45,11 @@ class BETRConfig:
     # Rematerialize each block in the backward pass (jax.checkpoint) — trades
     # FLOPs for activation memory at large batch/sequence.
     remat: bool = False
+    # 'int8': opt-in quantized SERVING mode — the 4 per-block matmuls run as
+    # dynamic-int8 MXU GEMMs (ops/quant.py; measured 1.2-1.9x per matmul,
+    # tools/int8_probe.py). Deterministic calls only; training falls back to
+    # float math on the same params. Checkpoints are mode-agnostic.
+    quantize: str | None = None
 
     @property
     def box_dim(self) -> int:
@@ -238,6 +243,7 @@ class BETR(nn.Module):
                 qkv_bias=True,
                 ln_eps=1e-5,
                 dtype=dtype,
+                quantize=cfg.quantize,
                 name=f"block_{i}",
             )
 
@@ -318,6 +324,7 @@ class BETR(nn.Module):
                 qkv_bias=True,
                 ln_eps=1e-5,
                 dtype=dtype,
+                quantize=cfg.quantize,
                 name=f"block_{i}",
             )(x, deterministic=deterministic)
         x = x.reshape(B, T, P, cfg.d_model)

@@ -80,19 +80,45 @@ class RMSNorm(nn.Module):
 
 
 class Mlp(nn.Module):
-    """timm-style MLP: Linear -> GELU -> Linear (dropout only in training)."""
+    """timm-style MLP: Linear -> GELU -> Linear (dropout only in training).
+
+    ``quantize='int8'``: serving-only int8 MXU path (ops/quant.py) — fc1/fc2
+    run as dynamic per-row x per-channel symmetric int8 GEMMs when
+    ``deterministic``; the non-deterministic (training) call falls back to
+    float math on the SAME param tree, so checkpoints are mode-agnostic."""
 
     hidden_features: Optional[int] = None
     out_features: Optional[int] = None
     dropout: float = 0.0
     use_bias: bool = True
     dtype: jnp.dtype = jnp.float32
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         in_features = x.shape[-1]
         hidden = self.hidden_features or in_features
         out = self.out_features or in_features
+        if self.quantize == "int8":
+            from boxdreamer_tpu.ops import quant
+
+            fc1_k, fc1_b = _DenseParams(
+                in_features, hidden, self.use_bias, name="fc1"
+            )()
+            fc2_k, fc2_b = _DenseParams(hidden, out, self.use_bias, name="fc2")()
+            if deterministic:
+                x = quant.int8_matmul(x, fc1_k, fc1_b, out_dtype=self.dtype)
+                x = gelu(x)
+                return quant.int8_matmul(x, fc2_k, fc2_b, out_dtype=self.dtype)
+            x = x.astype(self.dtype) @ fc1_k.astype(self.dtype)
+            if fc1_b is not None:
+                x = x + fc1_b.astype(self.dtype)
+            x = gelu(x)
+            x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
+            x = x @ fc2_k.astype(self.dtype)
+            if fc2_b is not None:
+                x = x + fc2_b.astype(self.dtype)
+            return nn.Dropout(self.dropout, deterministic=deterministic)(x)
         x = nn.Dense(hidden, use_bias=self.use_bias, dtype=self.dtype, name="fc1")(x)
         x = gelu(x)
         x = nn.Dropout(self.dropout, deterministic=deterministic)(x)
@@ -188,11 +214,16 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, q_slice: Optional[int] = None,
-                 pre_ln=None, allow_packed: bool = True):
+                 pre_ln=None, allow_packed: bool = True,
+                 quantized: bool = False):
         """``q_slice``: compute outputs only for the LAST ``q_slice`` tokens
         (they still attend over all N keys). Exact for consumers that only
         read those positions — the serving path's final BETR layer, where
-        only the query frame's tokens reach the output head.
+        only the query frame's tokens reach the head.
+
+        ``quantized``: run the qkv and output projections through the int8
+        MXU path (ops/quant.py; serving-only — callers gate on
+        deterministic). Attention itself stays bf16 in the Pallas kernel.
 
         ``pre_ln``: optional (gamma, beta, eps) — x arrives RAW and the
         LayerNorm fuses into the qkv matmul kernel (ops/fused_matmul.py),
@@ -250,19 +281,38 @@ class Attention(nn.Module):
                 kb = jnp.pad(
                     qkv_b.reshape(3, H, D), ((0, 0), (0, 0), (0, Dp - D))
                 ).reshape(-1).astype(dtype)
-            qkv = qkv_project(kw.astype(dtype), kb)
+            if quantized and pre_ln is None:
+                from boxdreamer_tpu.ops import quant
+
+                qkv = quant.int8_matmul(x, kw, kb, out_dtype=dtype)
+            else:
+                qkv = qkv_project(kw.astype(dtype), kb)
             out = attn_ops.packed_attention_ad(
                 qkv, norm_weights[0], norm_weights[1], H, D, scale
             )  # (B, N, H*Dp)
             pw = jnp.pad(
                 proj_kernel.reshape(H, D, C), ((0, 0), (0, Dp - D), (0, 0))
             ).reshape(H * Dp, C)
-            out = out @ pw.astype(dtype)
+            if quantized:
+                from boxdreamer_tpu.ops import quant
+
+                out = quant.int8_matmul(out, pw, None, out_dtype=dtype)
+            else:
+                out = out @ pw.astype(dtype)
         else:
-            qkv = qkv_project(
-                qkv_kernel.astype(dtype),
-                qkv_b.astype(dtype) if qkv_b is not None else None,
-            )
+            if quantized and pre_ln is None:
+                from boxdreamer_tpu.ops import quant
+
+                qkv = quant.int8_matmul(
+                    x, qkv_kernel,
+                    qkv_b if qkv_b is not None else None,
+                    out_dtype=dtype,
+                )
+            else:
+                qkv = qkv_project(
+                    qkv_kernel.astype(dtype),
+                    qkv_b.astype(dtype) if qkv_b is not None else None,
+                )
             qkv = qkv.reshape(B, N, 3, H, D)
             qkv = jnp.transpose(qkv, (2, 0, 3, 1, 4))  # (3, B, H, N, D)
             q, k, v = qkv[0], qkv[1], qkv[2]
@@ -273,7 +323,12 @@ class Attention(nn.Module):
             )
             n_out = N if q_slice is None else q_slice
             out = jnp.transpose(out, (0, 2, 1, 3)).reshape(B, n_out, C)
-            out = out @ proj_kernel.astype(dtype)
+            if quantized:
+                from boxdreamer_tpu.ops import quant
+
+                out = quant.int8_matmul(out, proj_kernel, None, out_dtype=dtype)
+            else:
+                out = out @ proj_kernel.astype(dtype)
         if proj_b is not None:
             out = out + proj_b.astype(dtype)
         return out
@@ -330,6 +385,10 @@ class TransformerBlock(nn.Module):
     layerscale_init: Optional[float] = None  # None => no LayerScale
     dtype: jnp.dtype = jnp.float32
     use_fused_prologues: bool = False  # see docstring: measured slower
+    # 'int8': opt-in quantized SERVING path (deterministic calls only; the
+    # training fall-back is float math on the same params). See ops/quant.py
+    # and tools/int8_probe.py for the measured per-matmul wins.
+    quantize: Optional[str] = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -382,8 +441,10 @@ class TransformerBlock(nn.Module):
                 m = LayerScale(self.layerscale_init, name="ls2")(m)
             return (t + m).reshape(B, N, C)
 
+        quantized = self.quantize == "int8" and deterministic
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
-        h = attn(h, q_slice=q_slice, allow_packed=deterministic)
+        h = attn(h, q_slice=q_slice, allow_packed=deterministic,
+                 quantized=quantized)
         if self.layerscale_init is not None:
             h = LayerScale(self.layerscale_init, name="ls1")(h)
         if q_slice is not None:
@@ -393,6 +454,7 @@ class TransformerBlock(nn.Module):
         h = Mlp(
             hidden_features=int(C * self.mlp_ratio),
             dtype=self.dtype,
+            quantize=self.quantize,
             name="mlp",
         )(h, deterministic=deterministic)
         if self.layerscale_init is not None:
