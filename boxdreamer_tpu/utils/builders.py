@@ -31,6 +31,10 @@ def build_model(cfg: ConfigNode) -> BoxDreamer:
         patch_size=dec.patch_size,
         img_size=dec.img_size,
         dtype=dtype,
+        # TPU-native extension (no reference counterpart): opt-in int8
+        # serving mode, e.g. `model.modules.decoder.quantize=int8` on the
+        # CLI. Serving-only; training falls back to float math.
+        quantize=dec.get("quantize", None),
     )
     dino = DinoViTConfig(
         img_size=dec.img_size, patch_size=dec.patch_size, dtype=dtype

@@ -165,10 +165,72 @@ def test_builders_from_config():
     model = build_model(cfg)
     assert model.config.betr.d_model == 768
     assert model.config.betr.dtype == "bfloat16"
+    assert model.config.betr.quantize is None  # bf16 default
     assert model.config.encoder == "dino"
+
+    # Opt-in int8 serving mode rides the dotted-override surface.
+    cfg_q = load_config(
+        "configs", "test.yaml", overrides=["model.modules.decoder.quantize=int8"]
+    )
+    assert build_model(cfg_q).config.betr.quantize == "int8"
     train_loss, _ = build_losses(cfg)
     assert train_loss.terms[0].type == "smooth_l1"
     oc = build_optim_config(cfg)
     assert oc.lr == 4e-4 and oc.warmup_steps == 10000
     mc = build_metrics_config(cfg)
     assert mc.pose_thresholds == (1, 3, 5, 10, 15, 20, 30)
+
+
+def test_evaluator_full_loop_int8(linemod_root, tmp_path):
+    """The int8 quantized serving mode must run the full Evaluator loop
+    end-to-end (same tiny geometry as test_evaluator_full_loop) and emit
+    the reference metric schema — the CLI path a user gets from
+    `model.modules.decoder.quantize=int8`."""
+    import dataclasses
+
+    size = 28
+    cfg = DatasetConfig(image_size=size, length=3)
+    ds = build_dataset("LINEMOD", cfg, "test", root=linemod_root)
+
+    betr = BETRConfig(
+        d_model=32, nhead=2, num_decoder_layers=1, patch_size=14,
+        img_size=size, dtype="float32", quantize="int8",
+    )
+    model = BoxDreamer(
+        BoxDreamerConfig(
+            betr=betr,
+            dino=DinoViTConfig(
+                img_size=size, patch_size=14, embed_dim=32, depth=1,
+                num_heads=2, dtype="float32",
+            ),
+            pnp_iters=3,
+        )
+    )
+    batch0 = ds[0]
+    mask = jnp.zeros((1, 3), dtype=bool).at[:, -1].set(True)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(batch0["images"])[None],
+        jnp.asarray(batch0["bbox_feat"])[None],
+        mask,
+    )
+    # Same params must drive the float twin (checkpoint compatibility).
+    float_model = BoxDreamer(
+        dataclasses.replace(
+            model.config, betr=dataclasses.replace(betr, quantize=None)
+        )
+    )
+    out = float_model.apply(
+        params,
+        jnp.asarray(batch0["images"])[None],
+        jnp.asarray(batch0["bbox_feat"])[None],
+        mask,
+    )
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    ev = Evaluator(model, params, batch_size=2, num_workers=0)
+    out_json = str(tmp_path / "test_metrics.json")
+    agg = ev.run([ds], output_json=out_json)
+    assert os.path.exists(out_json)
+    for key in ("ADD-0.1d 0", "proj2D@5px 0", "avg_err_R_0"):
+        assert key in agg, f"missing {key}"
