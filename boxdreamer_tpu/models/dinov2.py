@@ -41,6 +41,9 @@ class DinoViTConfig:
     layerscale_init: float = 1.0
     ln_eps: float = 1e-6
     dtype: str = "bfloat16"
+    # 'int8': opt-in quantized serving path for the 4 per-block matmuls
+    # (see models/layers.py TransformerBlock.quantize / ops/quant.py).
+    quantize: str | None = None
 
     @property
     def grid_size(self) -> int:
@@ -127,6 +130,7 @@ class DinoViT(nn.Module):
                 ln_eps=cfg.ln_eps,
                 layerscale_init=cfg.layerscale_init,
                 dtype=dtype,
+                quantize=cfg.quantize,
                 name=f"block_{i}",
             )(x)
 

@@ -37,7 +37,9 @@ def build_model(cfg: ConfigNode) -> BoxDreamer:
         quantize=dec.get("quantize", None),
     )
     dino = DinoViTConfig(
-        img_size=dec.img_size, patch_size=dec.patch_size, dtype=dtype
+        img_size=dec.img_size, patch_size=dec.patch_size, dtype=dtype,
+        # e.g. `model.modules.encoder.dino.quantize=int8` (serving-only).
+        quantize=m.encoder.get(m.encoder.name, {}).get("quantize", None),
     )
     model_cfg = BoxDreamerConfig(
         encoder=m.encoder.name,

@@ -117,3 +117,27 @@ def test_quantized_betr_forward_close_to_float():
     assert y_q.shape == y_f.shape
     rel = float(jnp.linalg.norm(y_q - y_f) / jnp.linalg.norm(y_f))
     assert rel < 0.1, rel
+
+
+def test_quantized_dinovit_close_to_float():
+    """DinoViT with quantize='int8' (layerscale blocks): same param tree,
+    output close to float."""
+    import dataclasses
+
+    from boxdreamer_tpu.models.dinov2 import DinoViT, DinoViTConfig
+
+    cfg = DinoViTConfig(
+        img_size=28, patch_size=14, embed_dim=32, depth=2, num_heads=2,
+        dtype="float32",
+    )
+    model_f = DinoViT(cfg)
+    model_q = DinoViT(dataclasses.replace(cfg, quantize="int8"))
+    x = jax.random.uniform(jax.random.PRNGKey(8), (2, 3, 28, 28))
+    params = model_f.init(jax.random.PRNGKey(9), x)
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(
+        model_q.init(jax.random.PRNGKey(9), x)
+    )
+    y_f = model_f.apply(params, x)
+    y_q = model_q.apply(params, x)
+    rel = float(jnp.linalg.norm(y_q - y_f) / jnp.linalg.norm(y_f))
+    assert rel < 0.1, rel

@@ -43,10 +43,12 @@ def main():
         (BATCH, 3, 3),
     )
 
-    def build(quantize):
+    def build(quantize, enc_quantize=None):
         cfg = BoxDreamerConfig()
         cfg = dataclasses.replace(
-            cfg, betr=dataclasses.replace(cfg.betr, quantize=quantize)
+            cfg,
+            betr=dataclasses.replace(cfg.betr, quantize=quantize),
+            dino=dataclasses.replace(cfg.dino, quantize=enc_quantize),
         )
         model = BoxDreamer(cfg)
         mask = jnp.zeros((1, N_REFS + 1), dtype=bool).at[:, -1].set(True)
@@ -92,9 +94,13 @@ def main():
         return best
 
     results = {}
-    for name, q in (("bf16", None), ("int8", "int8")):
+    for name, q, eq in (
+        ("bf16", None, None),
+        ("int8", "int8", None),
+        ("int8_full", "int8", "int8"),  # + encoder blocks quantized
+    ):
         print(f"building {name}...", file=sys.stderr, flush=True)
-        model, params, refs = build(q)
+        model, params, refs = build(q, eq)
         t1 = chain_time(model, params, refs, K_STEPS, seed=3)
         t2 = chain_time(model, params, refs, 2 * K_STEPS, seed=9)
         slope = (t2 - t1) / K_STEPS * 1e3
