@@ -19,6 +19,8 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import argparse
+
 import jax
 import jax.numpy as jnp
 
@@ -29,6 +31,12 @@ K_STEPS = 16
 
 
 def main():
+    global BATCH, K_STEPS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--k", type=int, default=K_STEPS)
+    a = ap.parse_args()
+    BATCH, K_STEPS = a.batch, a.k
     from boxdreamer_tpu.models import BoxDreamer, BoxDreamerConfig
     from boxdreamer_tpu.models.predictor import Predictor, predict_query
 
