@@ -101,10 +101,19 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--refs", type=int, default=25)
+    p.add_argument("--int8", action="store_true",
+                   help="decoder int8 serving mode (BETRConfig.quantize)")
     args = p.parse_args()
     B, R = args.batch, args.refs
 
-    model = BoxDreamer(BoxDreamerConfig())
+    import dataclasses
+
+    cfg = BoxDreamerConfig()
+    if args.int8:
+        cfg = dataclasses.replace(
+            cfg, betr=dataclasses.replace(cfg.betr, quantize="int8")
+        )
+    model = BoxDreamer(cfg)
     T0 = 6
     init = make_batch(jax.random.PRNGKey(0), 1, T0 - 1)
     mask = jnp.zeros((1, T0), dtype=bool).at[:, -1].set(True)
