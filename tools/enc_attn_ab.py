@@ -58,8 +58,18 @@ def slope_ms(apply_fn, params, images, seed):
 
 
 def main():
+    import argparse
+
     from boxdreamer_tpu.models.dinov2 import DinoViT, DinoViTConfig
     from boxdreamer_tpu.ops import attention as attn_ops
+
+    global B, K_STEPS
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=B)
+    ap.add_argument("--k", type=int, default=K_STEPS)
+    ap.add_argument("--xla-only", action="store_true")
+    a = ap.parse_args()
+    B, K_STEPS = a.batch, a.k
 
     model = DinoViT(DinoViTConfig())
     images = jax.random.uniform(jax.random.PRNGKey(0), (B, 3, SIZE, SIZE))
@@ -70,7 +80,9 @@ def main():
 
     results = {}
     default_gate = attn_ops.FLASH_MIN_SEQ_LEN
-    for name, gate in (("xla", default_gate), ("flash", 1)):
+    variants = (("xla", default_gate),) if a.xla_only else (
+        ("xla", default_gate), ("flash", 1))
+    for name, gate in variants:
         attn_ops.FLASH_MIN_SEQ_LEN = gate
         try:
             s, t1, t2 = slope_ms(apply_fn, params, images, seed=17 * gate)
