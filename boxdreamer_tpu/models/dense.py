@@ -247,18 +247,40 @@ def sub_batchify(
     return bf, tk, camera_mask
 
 
+def encode_dense_references(model: BoxDreamer, params: Any, ref_images):
+    """Pre-encode a dense reference DB once for serving.
+
+    ref_images: (N, 3, H, W) — the fixed per-object reference set. Returns
+    (N, P, C) encoder tokens to pass as ``dense_predict(...,
+    ref_tokens=...)`` (broadcast to the query batch), so per-query cost
+    drops from encoding N+1 frames x B to encoding B query frames. The
+    on-chip measurement lives in tools/dense_bench.py (--cached-refs).
+    """
+    return encoder_apply(model, params, ref_images)
+
+
 def dense_predict(
     model: BoxDreamer,
     params: Any,
     batch: Dict[str, jax.Array],
     dense_cfg: DenseConfig,
     mesh=None,
+    ref_tokens=None,
 ) -> Dict[str, jax.Array]:
     """Dense-reference inference (reference process_dense_input +
     process_multi_round). Jittable for a fixed dense_cfg.
 
     Batch keys as in forward_with_pose, where T-1 frames are references and
     the query index is T-1 (references first). Returns pred_poses etc.
+
+    ``ref_tokens``: optional precomputed encoder tokens for the T-1
+    reference frames, shaped (N, P, C) (shared DB, broadcast over the
+    batch) or (B, N, P, C). Serving caches these once per object
+    (:func:`encode_dense_references`) — the reference re-encodes its dense
+    DB every batch (dense_processing.py:8-40), which is the dominant cost
+    of the mode (CLAUDE.md dense numbers); with cached tokens only the B
+    query frames hit the encoder per call. EXACT: the encoder is frozen
+    and deterministic, so cached tokens equal recomputed ones.
 
     When ``dense_cfg.sequence_parallel`` and a ``mesh`` is given, the
     single-shot decoder pass (the path whose token count grows with the
@@ -272,10 +294,18 @@ def dense_predict(
     B, T = images.shape[:2]
     N = T - 1
 
-    flat = images.reshape((B * T,) + images.shape[2:])
-    tokens = encoder_apply(model, params, flat)
-    tokens = tokens.reshape(B, T, tokens.shape[1], tokens.shape[2])
-    ref_tokens, q_tokens = tokens[:, :N], tokens[:, N]
+    if ref_tokens is None:
+        flat = images.reshape((B * T,) + images.shape[2:])
+        tokens = encoder_apply(model, params, flat)
+        tokens = tokens.reshape(B, T, tokens.shape[1], tokens.shape[2])
+        ref_tokens, q_tokens = tokens[:, :N], tokens[:, N]
+    else:
+        q_tokens = encoder_apply(model, params, images[:, N])
+        if ref_tokens.ndim == 3:  # shared DB -> broadcast over batch
+            ref_tokens = jnp.broadcast_to(
+                ref_tokens[None], (B,) + ref_tokens.shape
+            )
+        ref_tokens = ref_tokens.astype(q_tokens.dtype)
     ref_bbox = bbox_feat[:, :N]
     ref_images, q_images = images[:, :N], images[:, N]
     K_q = batch["non_ndc_intrinsics"][:, N].astype(jnp.float32)

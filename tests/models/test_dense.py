@@ -213,3 +213,39 @@ def test_dense_defaults_pinned_by_chip_measurement():
     assert not cfg.multi_round
     assert not cfg.dense_mem_friendly
     assert cfg.sp_min_len == 4096
+
+
+def test_dense_cached_ref_tokens_exact(model_and_params):
+    """dense_predict with precomputed reference tokens
+    (encode_dense_references) must equal the recompute path exactly —
+    the frozen encoder is deterministic, so serving-side DB caching is a
+    pure cost optimization."""
+    model, params = model_and_params
+    B, R = 2, 6
+    batch = make_batch(jax.random.PRNGKey(11), B, R + 1)
+    cfg = D.DenseConfig(enable=True, filter_enable=True, filter="dino",
+                        filter_topk=3, multi_round=False)
+
+    out = D.dense_predict(model, params, batch, cfg)
+
+    # Per-batch-row tokens (B, N, P, C).
+    imgs = batch["images"]
+    flat = imgs[:, :R].reshape((B * R,) + imgs.shape[2:])
+    toks = D.encode_dense_references(model, params, flat)
+    toks = toks.reshape(B, R, toks.shape[1], toks.shape[2])
+    out_cached = D.dense_predict(model, params, batch, cfg, ref_tokens=toks)
+    np.testing.assert_allclose(
+        np.asarray(out_cached["pred_poses"]), np.asarray(out["pred_poses"]),
+        rtol=1e-5, atol=1e-6,
+    )
+
+    # Shared-DB (N, P, C) broadcast: all batch rows share row 0's refs.
+    shared = toks[0]
+    out_shared = D.dense_predict(model, params, batch, cfg, ref_tokens=shared)
+    # Row 0 of the shared run must match the per-row cached run's row 0
+    # (same refs, same query).
+    np.testing.assert_allclose(
+        np.asarray(out_shared["pred_poses"][0]),
+        np.asarray(out_cached["pred_poses"][0]),
+        rtol=1e-5, atol=1e-6,
+    )

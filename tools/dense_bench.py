@@ -103,6 +103,8 @@ def main():
     p.add_argument("--refs", type=int, default=25)
     p.add_argument("--int8", action="store_true",
                    help="decoder int8 serving mode (BETRConfig.quantize)")
+    p.add_argument("--only", default=None,
+                   help="substring filter on configuration names")
     args = p.parse_args()
     B, R = args.batch, args.refs
 
@@ -138,16 +140,41 @@ def main():
         "singleshot_longseq": DenseConfig(
             enable=True, filter_enable=False, multi_round=False,
         ),
+        # Serving-side DB caching (models/dense.py encode_dense_references):
+        # the 25-ref DB is encoded ONCE outside the chain; per query only
+        # the B query frames hit the encoder. Exactness pinned by
+        # tests/models/test_dense.py::test_dense_cached_ref_tokens_exact.
+        "filter_singleshot_cachedrefs": DenseConfig(
+            enable=True, filter_enable=True, filter="dino", filter_topk=5,
+            multi_round=False,
+        ),
     }
     results = {}
     for name, dcfg in configs.items():
+        if args.only and args.only not in name:
+            continue
         # The long-sequence single shot is the SP-shardable path; run it at
         # batch 1 (its per-query attention is already (26*256)^2).
         b = make_batch(jax.random.PRNGKey(3), 1, R) if "longseq" in name else batch
+        b = dict(b)
+        if "cachedrefs" in name:
+            from boxdreamer_tpu.models.dense import encode_dense_references
+
+            # Shared DB: encode row 0's refs once; tokens ride the batch
+            # dict as a jit ARG (never a closure — remote-compile 413).
+            b["ref_tokens"] = jax.jit(
+                lambda pp, im: encode_dense_references(model, pp, im)
+            )(params, b["images"][0, :-1])
+
+        def run_fn(pp, bb, d=dcfg):
+            bb = dict(bb)
+            toks = bb.pop("ref_tokens", None)
+            return dense_predict(model, pp, bb, d, ref_tokens=toks)
+
         print(f"measuring {name}...", file=sys.stderr, flush=True)
         try:
             s, t1, t2 = slope_ms(
-                lambda pp, bb, d=dcfg: dense_predict(model, pp, bb, d),
+                run_fn,
                 params,
                 b,
                 seed=zlib.crc32(name.encode()) % 1000,
