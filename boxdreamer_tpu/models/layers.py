@@ -224,6 +224,10 @@ class Attention(nn.Module):
         ``quantized``: run the qkv and output projections through the int8
         MXU path (ops/quant.py; serving-only — callers gate on
         deterministic). Attention itself stays bf16 in the Pallas kernel.
+        Asymmetry when ``pre_ln`` is also set: the qkv GEMM stays on the
+        fused-LN float kernel (no int8 LN-fused GEMM exists) and only the
+        output projection quantizes — effective int8 coverage is therefore
+        config-dependent (full with pre_ln=None, proj-only otherwise).
 
         ``pre_ln``: optional (gamma, beta, eps) — x arrives RAW and the
         LayerNorm fuses into the qkv matmul kernel (ops/fused_matmul.py),
@@ -406,6 +410,7 @@ class TransformerBlock(nn.Module):
             dtype=self.dtype,
             name="attn",
         )
+        quantized = self.quantize == "int8" and deterministic
         fused_ok = (
             self.use_fused_prologues
             and jnp.dtype(self.dtype) == jnp.bfloat16
@@ -422,8 +427,12 @@ class TransformerBlock(nn.Module):
             (fc1_k, fc1_b), (fc2_k, fc2_b) = _MlpParams(
                 C, int(C * self.mlp_ratio), name="mlp"
             )()
+            # quantize composes partially here: the ln-fused qkv GEMM and
+            # the fused fc1/fc2 kernels stay float (fusing LN/GELU into an
+            # int8 GEMM isn't built); the attention output projection does
+            # quantize — same pre_ln asymmetry as the unpacked branch.
             h = attn(x, q_slice=q_slice, pre_ln=(g1, b1, self.ln_eps),
-                     allow_packed=deterministic)
+                     allow_packed=deterministic, quantized=quantized)
             if self.layerscale_init is not None:
                 h = LayerScale(self.layerscale_init, name="ls1")(h)
             if q_slice is not None:
@@ -441,7 +450,6 @@ class TransformerBlock(nn.Module):
                 m = LayerScale(self.layerscale_init, name="ls2")(m)
             return (t + m).reshape(B, N, C)
 
-        quantized = self.quantize == "int8" and deterministic
         h = nn.LayerNorm(epsilon=self.ln_eps, dtype=self.dtype, name="norm1")(x)
         h = attn(h, q_slice=q_slice, allow_packed=deterministic,
                  quantized=quantized)

@@ -465,8 +465,14 @@ def packed_attention_ad(qkv, wq, wk, n_heads, head_dim, scale, interpret=False):
     Forward = the copy-free packed kernel, emitting the logsumexp as a
     residual. Backward unpacks the saved qkv/out once (O(N*D) copies — the
     same copies the unpacked path pays in its forward) and feeds the saved
-    out/lse straight into the flash backward: NO forward recompute, so
-    training and serving run the identical packed forward program.
+    out/lse straight into the flash backward: NO forward recompute.
+
+    Dispatch note: the VJP is kept functional and gradient-tested, but
+    after the round-4 honest train A/B (packed 79.96 vs unpacked 77.25
+    ms/step at flagship B8/N1536 — the backward's dq/dk/dv repack
+    transposes outweigh the forward's copy-free reads) callers gate packed
+    to SERVING only (allow_packed=deterministic in models/layers.py);
+    training runs the unpacked flash path.
     """
     return flash_attention_packed(
         qkv, n_heads, head_dim, scale, qk_norm_weights=(wq, wk),
