@@ -135,6 +135,7 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     from boxdreamer_tpu.training.evaluator import Evaluator
     from boxdreamer_tpu.utils.builders import build_metrics_config
+    from boxdreamer_tpu.utils.vis import VisConfig
 
     ev = Evaluator(
         model,
@@ -143,6 +144,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         batch_size=int(cfg.datamodule.batch_size),
         num_workers=int(cfg.datamodule.num_workers),
         dense_cfg=builders.build_dense_config(cfg),
+        # configs/model/vis group (reference configs/model/vis/default.yaml)
+        vis_config=VisConfig.from_cfg(cfg.model.get("vis")),
     )
     agg = ev.run(test_sets)
     INFO(f"wrote test_metrics.json ({len(agg)} metrics)")

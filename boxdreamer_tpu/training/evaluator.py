@@ -60,6 +60,7 @@ class Evaluator:
         mesh=None,  # jax.sharding.Mesh: shard eval batches over 'data'
         distributed: Optional[bool] = None,  # multi-host: shard data by
         # process + gather metrics; default auto (process_count > 1)
+        vis_config=None,  # utils.vis.VisConfig (configs/model/vis group)
     ):
         self.model = model
         self.params = params
@@ -84,9 +85,16 @@ class Evaluator:
         self.num_workers = num_workers
         # Qualitative panel collection (reference test_step -> VisUtils.add_data,
         # BoxDreamer_lightning_model.py:219-247); render() after run().
-        from boxdreamer_tpu.utils.vis import VisUtils
+        # Config-driven per the reference vis group (configs/model/vis/
+        # default.yaml): save_n_batches bounds the contributing batches,
+        # vis_types selects the panels.
+        from boxdreamer_tpu.utils.vis import VisConfig, VisUtils
 
-        self.vis = VisUtils(max_samples=8)
+        vis_config = vis_config or VisConfig()
+        self.vis = VisUtils(
+            max_samples=vis_config.save_n_batches * batch_size,
+            config=vis_config,
+        )
         if dense_cfg is not None and dense_cfg.enable:
             import functools
 
@@ -116,7 +124,7 @@ class Evaluator:
             # on_test_epoch_end gather, BoxDreamer_lightning_model.py:248-289).
             shard_across_processes=self.distributed,
         )
-        for batch in loader:
+        for batch_i, batch in enumerate(loader):
             padded, n_valid = _pad_batch(batch, self.batch_size)
             device_batch = {k: jnp.asarray(padded[k]) for k in _DEVICE_KEYS}
             if self._batch_sharding is not None:
@@ -152,6 +160,8 @@ class Evaluator:
                         pose_gt=np.asarray(batch["poses"][b][q]),
                         bbox_3d=np.asarray(batch["bbox_3d"][b][q]),
                         heatmaps=np.asarray(out["pred_bbox"][b]),
+                        gt_heatmaps=np.asarray(batch["bbox_feat"][b][q]),
+                        batch_id=(dataloader_id, batch_i),
                     )
                 metrics.update(
                     image_path=image_path,

@@ -10,6 +10,7 @@ logger (TensorBoard-style writers, file dumps, the demo compositor).
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -187,13 +188,70 @@ def plot_cameras(
     return fig
 
 
-class VisUtils:
-    """Accumulates eval samples and renders comparison panels
-    (reference VisUtils class, vis_utils.py:31-592)."""
+@dataclasses.dataclass(frozen=True)
+class VisConfig:
+    """Mirrors the reference vis config group
+    (configs/model/vis/default.yaml:1-3, consumed at vis_utils.py:53-169).
 
-    def __init__(self, max_samples: int = 16):
+    ``save_n_batches``: how many eval batches contribute samples.
+    ``vis_types``: which panels render. Supported here: 'bbox' (pred-vs-GT
+    wireframe overlay), 'bbox_feat' (pred + GT corner-heatmap overlays,
+    reference _visualize_bbox_feat), 'reprojection' (projected pred/GT
+    corner keypoints, reference draw_reprojection_pair), 'scene'
+    (matplotlib camera-frustum plot replacing the reference's
+    plotly/pt3d scene). Unknown types are ignored, as in the reference.
+    ``use_mask``: carried for config parity; the reference's vis path never
+    reads it (vis_utils.py has no use_mask consumer — the decoder's
+    use_mask flag is a different knob).
+    """
+
+    save_n_batches: int = 1
+    use_mask: bool = True
+    vis_types: Tuple[str, ...] = ("bbox", "bbox_feat")
+
+    @staticmethod
+    def from_cfg(node) -> "VisConfig":
+        """Build from a config mapping (cfg.model.vis); None -> defaults."""
+        if node is None:
+            return VisConfig()
+        get = node.get if hasattr(node, "get") else lambda k, d=None: getattr(node, k, d)
+        return VisConfig(
+            save_n_batches=int(get("save_n_batches", 1)),
+            use_mask=bool(get("use_mask", True)),
+            vis_types=tuple(get("vis_types", ("bbox", "bbox_feat"))),
+        )
+
+
+def fig_to_array(fig) -> np.ndarray:
+    """Rasterize a matplotlib figure to (H, W, 3) uint8."""
+    fig.canvas.draw()
+    buf = np.asarray(fig.canvas.buffer_rgba())[..., :3]
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)
+    return buf.copy()
+
+
+class VisUtils:
+    """Accumulates eval samples and renders panels selected by
+    ``VisConfig.vis_types`` (reference VisUtils class, vis_utils.py:31-592;
+    batch budget per vis_utils.py:66-84, panel dispatch per :129-169)."""
+
+    def __init__(self, max_samples: int = 16, config: Optional[VisConfig] = None):
+        self.config = config or VisConfig()
         self.max_samples = max_samples
         self.samples: List[Dict] = []
+        self.batches_seen: set = set()
+
+    def batch_allowed(self, batch_id) -> bool:
+        """First ``save_n_batches`` distinct batches contribute samples
+        (reference add_data's dataloader/batch budget)."""
+        if batch_id in self.batches_seen:
+            return True
+        if len(self.batches_seen) >= self.config.save_n_batches:
+            return False
+        self.batches_seen.add(batch_id)
+        return True
 
     def add_data(
         self,
@@ -203,28 +261,61 @@ class VisUtils:
         pose_gt: np.ndarray,
         bbox_3d: np.ndarray,
         heatmaps: Optional[np.ndarray] = None,
+        gt_heatmaps: Optional[np.ndarray] = None,
+        batch_id=None,
     ):
         if len(self.samples) >= self.max_samples:
             return
+        if batch_id is not None and not self.batch_allowed(batch_id):
+            return
         self.samples.append(
             dict(image=image, K=K, pose_pred=pose_pred, pose_gt=pose_gt,
-                 bbox_3d=bbox_3d, heatmaps=heatmaps)
+                 bbox_3d=bbox_3d, heatmaps=heatmaps, gt_heatmaps=gt_heatmaps)
         )
 
     def render(self) -> Optional[Image.Image]:
+        """One horizontal strip per sample; columns selected by vis_types."""
         if not self.samples:
             return None
+        types = self.config.vis_types
         panels = []
         for s in self.samples:
-            panel = compare_boxes(
-                s["image"], s["K"], s["pose_pred"], s["pose_gt"], s["bbox_3d"]
-            )
-            if s["heatmaps"] is not None:
-                panel = hstack_images(
-                    [panel, heatmap_overlay(s["image"], s["heatmaps"])]
+            cols = []
+            if "bbox" in types:
+                cols.append(
+                    compare_boxes(
+                        s["image"], s["K"], s["pose_pred"], s["pose_gt"],
+                        s["bbox_3d"],
+                    )
                 )
-            panels.append(panel)
+            if "bbox_feat" in types and s["heatmaps"] is not None:
+                cols.append(heatmap_overlay(s["image"], s["heatmaps"]))
+                if s["gt_heatmaps"] is not None:
+                    cols.append(heatmap_overlay(s["image"], s["gt_heatmaps"]))
+            if "reprojection" in types:
+                img = draw_keypoints(
+                    s["image"], reproj(s["K"], s["pose_gt"], s["bbox_3d"]),
+                    color=(0, 255, 0),
+                )
+                cols.append(
+                    draw_keypoints(
+                        img, reproj(s["K"], s["pose_pred"], s["bbox_3d"]),
+                        color=(60, 120, 255),
+                    )
+                )
+            if not cols:  # nothing selected for per-sample panels
+                continue
+            panels.append(hstack_images(cols))
+        if "scene" in types:
+            fig = plot_cameras(
+                np.stack([s["pose_gt"] for s in self.samples]),
+                np.stack([s["pose_pred"] for s in self.samples]),
+            )
+            panels.append(to_pil(fig_to_array(fig)))
+        if not panels:
+            return None
         return hstack_images(panels)
 
     def reset(self):
         self.samples = []
+        self.batches_seen = set()
