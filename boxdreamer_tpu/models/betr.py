@@ -38,6 +38,22 @@ class BETRConfig:
     bbox_representation: str = "heatmap"  # 'heatmap' | 'voting' | 'conf_voting'
     use_pretrained: bool = True  # fuse DINOv2 tokens (use_rgb + dino encoder)
     diff_emb: bool = False  # separate query/ref input embeddings (from-scratch)
+    # Supervision flags (reference betr.py:49-53,64-65; defaults mirror
+    # configs/model/transformer.yaml:47-48). At least one must be True.
+    # nvs_supervision builds the rgb_proj NVS head (betr.py:133-134) — the
+    # reference constructs it but never calls it in forward; here the head
+    # IS driven: the query tokens are decoded to an RGB image returned via
+    # ``return_aux`` and supervised by training/perceptual.py.
+    nvs_supervision: bool = False
+    ray_supervision: bool = True
+    # patchify_rays=False switches the plucker head to the non-patchified
+    # variant (reference betr.py:136-140,403-416): camera_ray_proj regresses
+    # patch_size^2*6 per token, unpatchified to full-resolution (B, 6, H, W)
+    # rays. The reference's INPUT path for this config is unreachable
+    # (config_utils.py:41-43 forbids it with use_rgb, and the from-scratch
+    # branch raises at betr.py:189); we keep patch-grid ray INPUT tokens —
+    # the only XLA-sane choice — and only the head changes.
+    patchify_rays: bool = True
     mlp_ratio: float = 4.0
     qk_norm: bool = True
     adapter_dropout: float = 0.1
@@ -82,6 +98,7 @@ class BETR(nn.Module):
         embed_only: bool = False,
         precomputed_fuse: Optional[jax.Array] = None,
         query_last: bool = False,
+        return_aux: bool = False,
     ) -> jax.Array:
         """Args:
             pose_feat: (B, T, box_dim, H, W) bbox feature maps (query frame
@@ -103,11 +120,14 @@ class BETR(nn.Module):
                 computes outputs only for those P tokens (exact: the head
                 consumes nothing else), saving ~5/6 of the last layer's
                 q-side attention + projection + MLP.
+            return_aux: also return the auxiliary-head dict — currently
+                {'nvs_rgb': (B, 3, H, W)} when config.nvs_supervision (the
+                rgb_proj NVS head, reference betr.py:133-134).
 
         Returns:
             (B, box_dim, H, W) query prediction; for the heatmap
             representation squashed to [-1, 1] via 2*sigmoid-1
-            (reference betr.py:403-437).
+            (reference betr.py:403-437). With return_aux: (pred, aux_dict).
         """
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
@@ -115,15 +135,21 @@ class BETR(nn.Module):
         P = cfg.tokens_per_frame
         B, T = masks.shape
 
+        # Reference module-init invariant (betr.py:63-65).
+        assert cfg.nvs_supervision or cfg.ray_supervision, (
+            "At least one supervision should be True"
+        )
+
         if cfg.pose_representation == "plucker":
             return self._plucker_forward(
-                pose_feat, masks, pretrain_rgb_feat, deterministic
+                pose_feat, masks, pretrain_rgb_feat, deterministic,
+                return_aux=return_aux,
             )
 
         if precomputed_fuse is not None:
             return self._attend_and_project(
                 precomputed_fuse.astype(dtype), masks, deterministic,
-                query_last=query_last,
+                query_last=query_last, return_aux=return_aux,
             )
 
         # --- bbox feature tokens -------------------------------------------------
@@ -183,6 +209,17 @@ class BETR(nn.Module):
                     fuse
                 )
                 r_emb = nn.Dense(cfg.d_model, dtype=dtype, name="input_ref_emb")(fuse)
+                if cfg.nvs_supervision:
+                    # Latent reference quirk: with nvs_supervision the
+                    # from-scratch diff_emb mode ALSO creates
+                    # input_query_ray_emb (betr.py:204-208) which the
+                    # reference forward never reads (_generate_fused_features
+                    # :373-394 only uses input_query_rgb_emb). Created here
+                    # for parameter-tree parity; XLA dead-code-eliminates
+                    # the unused projection.
+                    _ = nn.Dense(
+                        cfg.d_model, dtype=dtype, name="input_query_ray_emb"
+                    )(fuse)
                 fuse = jnp.where(masks[:, :, None, None], q_emb, r_emb)
             else:
                 fuse = nn.Dense(cfg.d_model, dtype=dtype, name="input_emb")(fuse)
@@ -194,12 +231,13 @@ class BETR(nn.Module):
             return fuse
 
         return self._attend_and_project(
-            fuse, masks, deterministic, query_last=query_last
+            fuse, masks, deterministic, query_last=query_last,
+            return_aux=return_aux,
         )
 
     def _attend_and_project(
         self, fuse: jax.Array, masks: jax.Array, deterministic: bool,
-        query_last: bool = False,
+        query_last: bool = False, return_aux: bool = False,
     ) -> jax.Array:
         """Attention stack + query selection + output head over fused
         per-frame tokens (B, T, P, d)."""
@@ -268,6 +306,19 @@ class BETR(nn.Module):
         out = layers.unpatchify(out, cfg.patch_size, cfg.box_dim)  # (B, c, H, W)
         if cfg.box_dim == 8:
             out = 2.0 * jax.nn.sigmoid(out.astype(jnp.float32)) - 1.0
+        aux = {}
+        if cfg.nvs_supervision:
+            # NVS head (reference rgb_proj, betr.py:133-134): decode the
+            # query tokens back to an RGB image. The reference constructs
+            # this layer but never calls it in forward; here it feeds the
+            # perceptual loss when the caller asks via return_aux. Raw
+            # linear output (no activation — the reference defines none).
+            nvs = nn.Dense(p2 * 3, dtype=dtype, name="rgb_proj")(query_feat)
+            aux["nvs_rgb"] = layers.unpatchify(nvs, cfg.patch_size, 3).astype(
+                jnp.float32
+            )
+        if return_aux:
+            return out, aux
         return out
 
     def _plucker_forward(
@@ -276,18 +327,27 @@ class BETR(nn.Module):
         masks: jax.Array,
         pretrain_rgb_feat: Optional[jax.Array],
         deterministic: bool,
+        return_aux: bool = False,
     ) -> jax.Array:
         """Plücker-ray path (reference betr.py:136-140,163-164,319-322,
-        403-416 with patchify_rays=True): rays come in at patch resolution
-        (B, T, 6, g, g), are embedded per token with ray_emb, fused with the
-        adapted encoder tokens, and the query's rays are regressed back with
-        a per-token 6-dim head (no sigmoid).
+        403-416): rays come in at patch resolution (B, T, 6, g, g), are
+        embedded per token with ray_emb, fused with the adapted encoder
+        tokens, and the query's rays are regressed back.
+
+        Head variants (reference betr.py:136-140 + _generate_output
+        :403-416): patchify_rays=True -> per-token 6-dim head, output
+        (B, 6, g, g); patchify_rays=False -> per-token patch_size^2*6 head
+        unpatchified to full-resolution (B, 6, H, W) rays. No sigmoid in
+        either. The input stays at patch-grid resolution in both (see the
+        BETRConfig.patchify_rays note on the reference's unreachable
+        full-res input path).
         """
         cfg = self.config
         dtype = jnp.dtype(cfg.dtype)
         B, T = masks.shape
         g = rays.shape[-1]
         P = g * g
+        p2 = cfg.patch_size**2
 
         assert pretrain_rgb_feat is not None, "plucker path requires encoder tokens"
         rgb_tokens = layers.Mlp(
@@ -329,6 +389,32 @@ class BETR(nn.Module):
             )(x, deterministic=deterministic)
         x = x.reshape(B, T, P, cfg.d_model)
         query_feat = jnp.einsum("btpc,bt->bpc", x, masks.astype(x.dtype))
-        out = nn.Dense(6, dtype=dtype, name="camera_ray_proj")(query_feat)  # (B,P,6)
-        out = jnp.swapaxes(out, -1, -2).reshape(B, 6, g, g)
-        return out.astype(jnp.float32)
+        # camera_ray_proj exists only with ray_supervision (reference
+        # betr.py:136-140; without it the reference forward would
+        # AttributeError at :406 — an unreachable config, rejected here).
+        assert cfg.ray_supervision, (
+            "plucker pose_representation requires ray_supervision "
+            "(reference betr.py:136-140)"
+        )
+        if cfg.patchify_rays:
+            out = nn.Dense(6, dtype=dtype, name="camera_ray_proj")(
+                query_feat
+            )  # (B, P, 6)
+            out = jnp.swapaxes(out, -1, -2).reshape(B, 6, g, g)
+        else:
+            # Non-patchified head (betr.py:140,410-415): p^2*6 per token,
+            # unpatchified to full-resolution rays.
+            out = nn.Dense(p2 * 6, dtype=dtype, name="camera_ray_proj")(
+                query_feat
+            )  # (B, P, p2*6)
+            out = layers.unpatchify(out, cfg.patch_size, 6)  # (B, 6, g*p, g*p)
+        out = out.astype(jnp.float32)
+        aux = {}
+        if cfg.nvs_supervision:
+            nvs = nn.Dense(p2 * 3, dtype=dtype, name="rgb_proj")(query_feat)
+            aux["nvs_rgb"] = layers.unpatchify(nvs, cfg.patch_size, 3).astype(
+                jnp.float32
+            )
+        if return_aux:
+            return out, aux
+        return out

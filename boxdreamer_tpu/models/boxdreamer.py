@@ -77,14 +77,18 @@ class BoxDreamer(nn.Module):
         bbox_feat: jax.Array,
         camera_mask: jax.Array,
         deterministic: bool = True,
+        return_aux: bool = False,
     ) -> jax.Array:
         """Args:
             images: (B, T, 3, H, W) crops in [0, 1].
             bbox_feat: (B, T, box_dim, H, W) reference bbox features.
             camera_mask: (B, T) bool, True at the query frame.
+            return_aux: also return the decoder's auxiliary-head dict
+                ({'nvs_rgb'} when betr.nvs_supervision).
 
         Returns:
-            (B, box_dim, H, W) query heatmaps in [-1, 1].
+            (B, box_dim, H, W) query heatmaps in [-1, 1]; with return_aux,
+            (heatmaps, aux_dict).
         """
         cfg = self.config
         B, T = images.shape[:2]
@@ -129,6 +133,7 @@ class BoxDreamer(nn.Module):
             camera_mask,
             pretrain_rgb_feat=rgb_tokens,
             deterministic=deterministic,
+            return_aux=return_aux,
         )
 
 

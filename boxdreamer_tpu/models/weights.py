@@ -127,9 +127,23 @@ def convert_betr(
     s = {k[len(prefix):]: v for k, v in state.items() if k.startswith(prefix)}
     params: Dict[str, Any] = {
         "bbox_learnable_query": s["bbox_learnable_query"],
-        "bbox_emb": _linear(s, "bbox_emb"),
-        "bbox_proj": _linear(s, "bbox_proj"),
     }
+    # Representation-dependent embeddings/heads (betr.py:131-209): bb8 uses
+    # bbox_emb/bbox_proj, plucker ray_emb/camera_ray_proj; nvs_supervision
+    # adds rgb_proj; from-scratch diff_emb adds the input_*_emb family.
+    for name in (
+        "bbox_emb",
+        "bbox_proj",
+        "ray_emb",
+        "camera_ray_proj",
+        "rgb_proj",
+        "input_emb",
+        "input_ref_emb",
+        "input_query_rgb_emb",
+        "input_query_ray_emb",
+    ):
+        if f"{name}.weight" in s:
+            params[name] = _linear(s, name)
     if "input_transform.fc1.weight" in s:
         params["input_transform"] = {
             "fc1": _linear(s, "input_transform.fc1"),

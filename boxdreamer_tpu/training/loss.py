@@ -109,10 +109,24 @@ def _masked_mean(values: jax.Array, mask: jax.Array) -> jax.Array:
 class Loss:
     """Callable loss over the batch dict: returns (total, per-term dict)."""
 
-    def __init__(self, terms: Sequence[LossTerm] = (LossTerm(),)):
+    def __init__(
+        self,
+        terms: Sequence[LossTerm] = (LossTerm(),),
+        perceptual_params=None,
+    ):
         self.terms = tuple(terms)
+        self._perceptual = None
         for t in self.terms:
-            if t.type not in _ELEMENTWISE and t.type not in _SCALAR:
+            if t.type == "PerceptualLoss":
+                # VGG16 perceptual distance for the NVS-supervision head
+                # (reference loss.py:29-30 builds PerceptualLoss() for such
+                # terms). perceptual_params: optional converted torchvision
+                # VGG16 weights; random features otherwise (still a valid
+                # distance — training/perceptual.py docstring).
+                from boxdreamer_tpu.training.perceptual import PerceptualLoss
+
+                self._perceptual = PerceptualLoss(params=perceptual_params)
+            elif t.type not in _ELEMENTWISE and t.type not in _SCALAR:
                 raise ValueError(f"Unsupported loss type: {t.type}")
 
     @property
@@ -144,7 +158,11 @@ class Loss:
             gt = data[term.gt_key].astype(jnp.float32)
             mask = data.get(term.mask_key) if term.mask_key else None
 
-            if term.type in _SCALAR:
+            if term.type == "PerceptualLoss":
+                # pred/gt are query-frame images (B, 3, H, W); no masking —
+                # the NVS head already decodes only the query tokens.
+                loss = self._perceptual(pred, gt) * term.weight[0]
+            elif term.type in _SCALAR:
                 # Scalar losses are applied to query frames only via mask==1
                 # pre-selection with where (content at ref frames zeroed).
                 fn = _SCALAR[term.type]

@@ -112,6 +112,12 @@ def make_train_step(
         needs_regression_boxes = any(
             t.pred_key == "regression_boxes" for t in loss.terms
         )
+        # NVS-supervision consumer: a loss term reading 'nvs_rgb' drives the
+        # decoder's rgb_proj head (reference betr.py:133-134; the perceptual
+        # term mirrors reference loss.py:29-30).
+        needs_nvs = model.config.betr.nvs_supervision and any(
+            t.pred_key == "nvs_rgb" for t in loss.terms
+        )
 
         def loss_fn(params):
             pred = model.apply(
@@ -121,7 +127,11 @@ def make_train_step(
                 camera_mask,
                 deterministic=deterministic,
                 rngs={"dropout": rng},
+                return_aux=needs_nvs,
             )
+            aux = {}
+            if needs_nvs:
+                pred, aux = pred
             if loss.query_frame_only and not needs_regression_boxes:
                 # Query-only fast path (exact — see Loss.query_frame_only):
                 # evaluate the masked loss on (B, 1, ...) query slices
@@ -142,6 +152,14 @@ def make_train_step(
                 batch["bbox_feat"], pred, camera_mask
             )
             data["camera_mask"] = camera_mask
+            if needs_nvs:
+                B = batch["images"].shape[0]
+                q = batch["query_idx"].reshape(B, 1, 1, 1, 1)
+                data["nvs_rgb"] = aux["nvs_rgb"]
+                # GT: the query frame's RGB crop.
+                data["nvs_rgb_gt"] = jnp.take_along_axis(
+                    batch["images"], q, axis=1
+                )[:, 0]
             if needs_regression_boxes and "bbox_proj_crop" in batch:
                 # Optional keypoint-regression term (reference
                 # calculate_bb8_projections, prediction_utils.py:106-136, and

@@ -31,6 +31,13 @@ def build_model(cfg: ConfigNode) -> BoxDreamer:
         patch_size=dec.patch_size,
         img_size=dec.img_size,
         dtype=dtype,
+        diff_emb=bool(dec.get("diff_emb", False)),
+        # Supervision flags + ray-head variant (reference transformer.yaml
+        # :22,47-48; patchify_rays lives at the modules level there and is
+        # copied into the decoder config by config_utils.py:85).
+        nvs_supervision=bool(dec.get("nvs_supervision", False)),
+        ray_supervision=bool(dec.get("ray_supervision", True)),
+        patchify_rays=bool(m.get("patchify_rays", True)),
         # TPU-native extension (no reference counterpart): opt-in int8
         # serving mode, e.g. `model.modules.decoder.quantize=int8` on the
         # CLI. Serving-only; training falls back to float math.
