@@ -135,17 +135,22 @@ def ours_results(fixture_root, ref_model, tmp_path_factory):
     cwd = os.getcwd()
     os.chdir(out_dir)
     try:
+        # The argv comes from the runbook module — the same builder README's
+        # mount-day command documents, so command and CI proof cannot drift
+        # (VERDICT r4 item 8). Only fixture sizing is appended.
+        from boxdreamer_tpu.cli.runbook import eval_argv
+
         rc = cli_run.main(
-            [
-                "--config-name=test.yaml",
+            eval_argv(
+                st_path,
+                str(fixture_root),
+                "LINEMOD",
                 "--config-dir", os.path.join(REPO, "configs"),
-                "--safetensors", st_path,
                 f"length={LENGTH}",
                 "precision=float32",
-                f"datamodule.LINEMOD.root={fixture_root}",
                 "datamodule.batch_size=2",
                 "datamodule.num_workers=0",
-            ]
+            )
         )
         assert rc == 0
         with open(out_dir / "test_metrics.json") as f:
