@@ -247,7 +247,9 @@ def sub_batchify(
     return bf, tk, camera_mask
 
 
-def encode_dense_references(model: BoxDreamer, params: Any, ref_images):
+def encode_dense_references(
+    model: BoxDreamer, params: Any, ref_images, store: str = "bf16"
+):
     """Pre-encode a dense reference DB once for serving.
 
     ref_images: (N, 3, H, W) — the fixed per-object reference set. Returns
@@ -255,8 +257,32 @@ def encode_dense_references(model: BoxDreamer, params: Any, ref_images):
     ref_tokens=...)`` (broadcast to the query batch), so per-query cost
     drops from encoding N+1 frames x B to encoding B query frames. The
     on-chip measurement lives in tools/dense_bench.py (--cached-refs).
+
+    ``store='int8'``: hold the cache as symmetric per-row int8 + f32 scales
+    (4.1x smaller than bf16) and dequantize to bf16 at dense_predict entry.
+    At the production 25-ref DB the bf16 cache is only ~10 MB, so this is a
+    CAPACITY lever (thousand-reference DBs), not a speed one — the round-5
+    A/B measured parity within noise (tools/dense_bench.py --cached-store
+    int8; see CLAUDE.md round-5 notes).
     """
-    return encoder_apply(model, params, ref_images)
+    tokens = encoder_apply(model, params, ref_images)
+    if store == "int8":
+        from boxdreamer_tpu.ops import quant
+
+        vals, scales = quant.quantize_rows_int8(tokens)
+        return {"int8": vals, "scale": scales, "dtype": str(tokens.dtype)}
+    return tokens
+
+
+def _materialize_ref_tokens(ref_tokens):
+    """Dequantize an int8 token cache (dict from encode_dense_references
+    with store='int8'); pass arrays through untouched."""
+    if isinstance(ref_tokens, dict) and "int8" in ref_tokens:
+        # scale already carries the keepdims trailing 1 (quantize_rows_int8)
+        return (
+            ref_tokens["int8"].astype(jnp.float32) * ref_tokens["scale"]
+        ).astype(jnp.dtype(ref_tokens.get("dtype", "bfloat16")))
+    return ref_tokens
 
 
 def dense_predict(
@@ -300,6 +326,7 @@ def dense_predict(
         tokens = tokens.reshape(B, T, tokens.shape[1], tokens.shape[2])
         ref_tokens, q_tokens = tokens[:, :N], tokens[:, N]
     else:
+        ref_tokens = _materialize_ref_tokens(ref_tokens)  # int8 cache path
         q_tokens = encoder_apply(model, params, images[:, N])
         if ref_tokens.ndim == 3:  # shared DB -> broadcast over batch
             ref_tokens = jnp.broadcast_to(

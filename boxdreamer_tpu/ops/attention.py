@@ -644,35 +644,63 @@ def _flash_bwd_dkv_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "block_k", "interpret")
+    jax.jit,
+    static_argnames=(
+        "scale", "block_q", "block_k", "interpret",
+        "dq_blocks", "dkv_blocks",
+    ),
 )
 def flash_attention_bwd(
     q, k, v, out, lse, g,
     scale: float,
-    block_q: int = DEFAULT_BLOCK_Q,
-    block_k: int = DEFAULT_BLOCK_K,
+    block_q: int = 1536,
+    block_k: int = 1536,
     interpret: bool = False,
+    dq_blocks: "tuple[int, int] | None" = None,
+    dkv_blocks: "tuple[int, int] | None" = None,
 ):
     """Pallas flash backward: (dq, dk, dv) without materializing (N, N).
 
     Args:
         q, k, v: (B, H, N, D) saved inputs. out: saved forward output.
         lse: (B, H, N) saved logsumexp. g: (B, H, N, D) output cotangent.
+        dq_blocks / dkv_blocks: optional per-kernel (block_q, block_k)
+            overrides. The dq and dk/dv dispatches have different scratch
+            footprints, so their sweet spots differ; explicit values bypass
+            the conservative 1024 cap (callers own the VMEM risk — sweep
+            with tools/bwd_tune.py --blocks on the real chip first).
     """
     B, H, Nq, D = q.shape
     Nk = k.shape[2]
 
     D_pad = _round_up(D, LANE)
-    # The backward kernels carry more scratch than the forward ((block, D)
-    # f32 accumulators in BOTH kernels plus the (BQ, BK) tile); 1536 blocks
-    # exceed the 16 MB scoped-VMEM limit inside loops (measured: 17.09 MB at
-    # N=1536) — cap at 1024.
-    block_q = _pick_block(Nq, min(block_q, 1024))
-    block_k = _pick_block(Nk, min(block_k, 1024))
+    # Default blocks (round-5 sweep, tools/bwd_tune.py --blocks, v5e,
+    # B8/H8/D96/N1536 fetch-timed chain slopes): each kernel keeps its
+    # OUTPUT extent as one full block (dq: q-side; dkv: k-side — one scratch
+    # emission, no output re-reads) and streams the reduced operand in 768
+    # chunks. Measured 2.21 ms/fwd+bwd vs 2.75 for the old symmetric
+    # 1024 cap and 3.19 for symmetric 768; symmetric 1536 blocks still OOM
+    # scoped VMEM (17.09 MB) inside lax loops. The 1536/768 caps bound VMEM
+    # (~10 MB tiles) at ANY sequence length.
+    if dq_blocks is not None:
+        bq_dq = _pick_block(Nq, dq_blocks[0])
+        bk_dq = _pick_block(Nk, dq_blocks[1])
+    else:
+        bq_dq = _pick_block(Nq, min(block_q, 1536))
+        bk_dq = _pick_block(Nk, min(block_k, 768))
+    if dkv_blocks is not None:
+        bq_dkv = _pick_block(Nq, dkv_blocks[0])
+        bk_dkv = _pick_block(Nk, dkv_blocks[1])
+    else:
+        bq_dkv = _pick_block(Nq, min(block_q, 768))
+        bk_dkv = _pick_block(Nk, min(block_k, 1536))
+    # Padded extents must agree across the two dispatches (shared operands).
+    block_q = max(bq_dq, bq_dkv)
+    block_k = max(bk_dq, bk_dkv)
     Nq_pad = _round_up(Nq, block_q)
     Nk_pad = _round_up(Nk, block_k)
-    num_qb = Nq_pad // block_q
-    num_kb = Nk_pad // block_k
+    assert Nq_pad % bq_dq == 0 and Nk_pad % bk_dq == 0
+    assert Nq_pad % bq_dkv == 0 and Nk_pad % bk_dkv == 0
 
     # delta_i = dO_i . O_i (f32), O(N*D) in XLA.
     delta = jnp.sum(
@@ -705,46 +733,46 @@ def flash_attention_bwd(
     deltarow = pad_row(delta, Nq_pad)
 
     q_spec_i = pl.BlockSpec(
-        (1, block_q, D_pad), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        (1, bq_dq, D_pad), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
     )
     kv_spec_j = pl.BlockSpec(
-        (1, block_k, D_pad), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
+        (1, bk_dq, D_pad), lambda b, i, j: (b, j, 0), memory_space=pltpu.VMEM
     )
     row_spec_i = pl.BlockSpec(
-        (1, block_q, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
+        (1, bq_dq, 1), lambda b, i, j: (b, i, 0), memory_space=pltpu.VMEM
     )
 
     dq = pl.pallas_call(
         functools.partial(
             _flash_bwd_dq_kernel,
-            scale=scale, n_valid_k=Nk, block_k=block_k, num_kb=num_kb,
-            masked=Nk != Nk_pad,
+            scale=scale, n_valid_k=Nk, block_k=bk_dq,
+            num_kb=Nk_pad // bk_dq, masked=Nk != Nk_pad,
         ),
-        grid=(B * H, num_qb, num_kb),
+        grid=(B * H, Nq_pad // bq_dq, Nk_pad // bk_dq),
         in_specs=[q_spec_i, kv_spec_j, kv_spec_j, q_spec_i, row_spec_i, row_spec_i],
         out_specs=q_spec_i,
         out_shape=jax.ShapeDtypeStruct((B * H, Nq_pad, D_pad), q.dtype),
-        scratch_shapes=[pltpu.VMEM((block_q, D_pad), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bq_dq, D_pad), jnp.float32)],
         interpret=interpret,
     )(qp, kp, vp, gp, lsep, deltap)
 
     # dk/dv: grid iterates Q blocks minor-most for each KV block.
     q_spec_i2 = pl.BlockSpec(
-        (1, block_q, D_pad), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
+        (1, bq_dkv, D_pad), lambda b, j, i: (b, i, 0), memory_space=pltpu.VMEM
     )
     kv_spec_j2 = pl.BlockSpec(
-        (1, block_k, D_pad), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM
+        (1, bk_dkv, D_pad), lambda b, j, i: (b, j, 0), memory_space=pltpu.VMEM
     )
     row_spec_i2 = pl.BlockSpec(
-        (1, 1, block_q), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM
+        (1, 1, bq_dkv), lambda b, j, i: (b, 0, i), memory_space=pltpu.VMEM
     )
     dk, dv = pl.pallas_call(
         functools.partial(
             _flash_bwd_dkv_kernel,
-            n_valid_q=Nq, block_q=block_q, num_qb=num_qb,
+            n_valid_q=Nq, block_q=bq_dkv, num_qb=Nq_pad // bq_dkv,
             masked=Nq != Nq_pad,
         ),
-        grid=(B * H, num_kb, num_qb),
+        grid=(B * H, Nk_pad // bk_dkv, Nq_pad // bq_dkv),
         in_specs=[
             q_spec_i2, kv_spec_j2, kv_spec_j2, q_spec_i2, row_spec_i2, row_spec_i2
         ],
@@ -754,8 +782,8 @@ def flash_attention_bwd(
             jax.ShapeDtypeStruct((B * H, Nk_pad, D_pad), v.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_k, D_pad), jnp.float32),
-            pltpu.VMEM((block_k, D_pad), jnp.float32),
+            pltpu.VMEM((bk_dkv, D_pad), jnp.float32),
+            pltpu.VMEM((bk_dkv, D_pad), jnp.float32),
         ],
         interpret=interpret,
     )(qp, kp, vp, gp, lserow, deltarow)
@@ -903,6 +931,128 @@ def flash_attention_ad(q, k, v, scale, interpret=False):
     return _flash_attention_ad(q, k, v, scale, interpret)
 
 
+# ---------------------------------------------------------------------------
+# short-sequence multi-head kernel (encoder shapes: N ~ 261, D = 64)
+# ---------------------------------------------------------------------------
+
+
+def _mha_multihead_kernel(
+    *refs, n_heads: int, n_valid: int, masked: bool, with_lse: bool
+):
+    """All heads of ONE batch element per grid step.
+
+    Why this exists: at DINOv2's shape (N=261, D=64) the flash kernel loses
+    to XLA because its (batch*head,) grid pays per-step overhead on tiny
+    blocks and the D=64->128 lane pad doubles its work
+    (tools/enc_attn_ab.py, round 4: 3.66 vs 2.78 ms/step at B=8). Here the
+    grid is (B,) and the ENTIRE (H, N, D) head stack lives in one VMEM
+    block (~4.7 MB at ViT-B geometry), so per-step overhead is amortized
+    over 12 heads and the softmax never touches HBM. q arrives pre-folded
+    with scale*log2(e) (same base-2 trick as the flash kernel).
+    """
+    if with_lse:
+        q_ref, k_ref, v_ref, o_ref, lse_ref = refs
+    else:
+        q_ref, k_ref, v_ref, o_ref = refs
+    for h in range(n_heads):
+        qh = q_ref[0, h]  # (N_pad, D_pad)
+        kh = k_ref[0, h]
+        s = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (N_pad, N_pad)
+        if masked:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < n_valid, s, NEG_INF)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)
+        denom = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0, h] = (o / denom).astype(o_ref.dtype)
+        if with_lse:
+            # natural-log lse from the base-2 stream (for the XLA backward).
+            lse_ref[0, h] = (m + jnp.log2(denom)) * LN_2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("scale", "interpret", "return_lse")
+)
+def mha_multihead(
+    q, k, v, scale: float, interpret: bool = False, return_lse: bool = False
+):
+    """Short-sequence attention, one batch element (all heads) per grid
+    step. Whole-N blocks — intended for N up to ~512; no qk-norm variant
+    (the encoder has none)."""
+    B, H, N, D = q.shape
+    D_pad = _round_up(D, LANE)
+    N_pad = _round_up(N, LANE)
+
+    def pad(x):
+        return jnp.pad(x, ((0, 0), (0, 0), (0, N_pad - N), (0, D_pad - D)))
+
+    qp = pad(q) * jnp.asarray(scale * LOG2_E, q.dtype)
+    kp, vp = pad(k), pad(v)
+    spec = pl.BlockSpec(
+        (1, H, N_pad, D_pad), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    lse_spec = pl.BlockSpec(
+        (1, H, N_pad, 1), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [spec, lse_spec] if return_lse else spec
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, H, N_pad, D_pad), q.dtype),
+        jax.ShapeDtypeStruct((B, H, N_pad, 1), jnp.float32),
+    ]
+    outs = pl.pallas_call(
+        functools.partial(
+            _mha_multihead_kernel,
+            n_heads=H, n_valid=N, masked=N != N_pad, with_lse=return_lse,
+        ),
+        grid=(B,),
+        in_specs=[spec, spec, spec],
+        out_specs=out_specs,
+        out_shape=out_shapes if return_lse else out_shapes[0],
+        interpret=interpret,
+    )(qp, kp, vp)
+    if return_lse:
+        out, lse = outs
+        return out[..., :N, :D], lse[..., :N, 0]
+    return outs[..., :N, :D]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _mha_multihead_ad(q, k, v, scale, interpret=False):
+    return mha_multihead(q, k, v, scale, interpret=interpret)
+
+
+def _mha_multihead_ad_fwd(q, k, v, scale, interpret=False):
+    out, lse = mha_multihead(
+        q, k, v, scale, interpret=interpret, return_lse=True
+    )
+    return out, (q, k, v, out, lse)
+
+
+def _mha_multihead_ad_bwd(scale, interpret, residuals, g):
+    # Short sequences: the XLA lse backward is the measured winner (the
+    # same dispatch rule as _flash_ad_bwd below the crossover). The
+    # flagship path never reaches this — the encoder is frozen.
+    q, k, v, out, lse = residuals
+    return flash_attention_bwd_xla(q, k, v, out, lse, g, scale)
+
+
+_mha_multihead_ad.defvjp(_mha_multihead_ad_fwd, _mha_multihead_ad_bwd)
+
+
+# Short-sequence multi-head dispatch gate: B*H threshold above which
+# mha_multihead beats XLA's materialized-scores path on chip. None disables
+# (measured round 5 with tools/enc_attn_ab.py at B in {8, 48}; see value).
+MHA_MULTIHEAD_MIN_BH: "int | None" = None
+MHA_MULTIHEAD_MAX_SEQ_LEN = 512
+
+
 # Dispatch crossover, measured honestly on v5e (chained lax.scan slope,
 # tools/kernel_tune.py): at N=1536/B=8/H=8/D=96 the single-pass exp2 flash
 # kernel (whole-sequence q block, exp2/scale folding) runs 0.49 ms vs
@@ -992,6 +1142,17 @@ def multi_head_attention(
     if qk_norm_weights is not None:
         q = rms_norm(q, qk_norm_weights[0])
         k = rms_norm(k, qk_norm_weights[1])
+    if (
+        platform == "tpu"
+        and MHA_MULTIHEAD_MIN_BH is not None
+        and q.ndim == 4
+        and q.shape == k.shape == v.shape
+        and q.shape[-2] <= MHA_MULTIHEAD_MAX_SEQ_LEN
+        and q.shape[0] * q.shape[1] >= MHA_MULTIHEAD_MIN_BH
+    ):
+        # Encoder-shape fast path (short N, many batch*head programs):
+        # whole-stack-per-step kernel, gated by the measured threshold.
+        return _mha_multihead_ad(q, k, v, scale, False)
     return mha_reference(q, k, v, scale)
 
 

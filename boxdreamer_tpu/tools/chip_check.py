@@ -136,6 +136,26 @@ def variants(interpret: bool = False):
     )
     # fwd: multi-KV-block streaming (N > DEFAULT_BLOCK_K=1536)
     add("fwd multi-kv-block N=4096", f, qkv(1, 2, 4096), mha)
+    # short-sequence multi-head kernel (encoder shape, D=64, masked tail)
+    D64 = 64
+    mh_scale = D64 ** -0.5
+    add(
+        "mha_multihead encoder-shape",
+        functools.partial(
+            attn.mha_multihead, scale=mh_scale, interpret=interpret
+        ),
+        [_s(2, 12, 261, D64)] * 3,
+        functools.partial(attn.mha_reference, scale=mh_scale),
+    )
+    add(
+        "mha_multihead with lse",
+        functools.partial(
+            attn.mha_multihead, scale=mh_scale, interpret=interpret,
+            return_lse=True,
+        ),
+        [_s(1, 4, 256, D64)] * 3,
+        lambda q, k, v: _xla_out_lse(q, k, v, mh_scale),
+    )
     # fwd: LSE output (ring-attention local step)
     add(
         "fwd with lse (ring local)",

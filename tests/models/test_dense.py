@@ -249,3 +249,34 @@ def test_dense_cached_ref_tokens_exact(model_and_params):
         np.asarray(out_cached["pred_poses"][0]),
         rtol=1e-5, atol=1e-6,
     )
+
+
+def test_dense_int8_token_cache(model_and_params):
+    """store='int8' token cache: 4.1x smaller DB, dequantized at
+    dense_predict entry; decoded keypoints must stay close to the bf16
+    cache (per-row symmetric int8, ~0.4% rel err per token)."""
+    model, params = model_and_params
+    B, R = 2, 6
+    batch = make_batch(jax.random.PRNGKey(11), B, R + 1)
+    cfg = D.DenseConfig(enable=True, filter_enable=True, filter="dino",
+                        filter_topk=3, multi_round=False)
+
+    shared_imgs = batch["images"][0, :R]
+    bf16_cache = D.encode_dense_references(model, params, shared_imgs)
+    q_cache = D.encode_dense_references(model, params, shared_imgs,
+                                        store="int8")
+    assert q_cache["int8"].dtype == np.int8
+    deq = D._materialize_ref_tokens(q_cache)
+    rel = float(
+        np.abs(np.asarray(deq, np.float32) - np.asarray(bf16_cache, np.float32)).max()
+        / np.abs(np.asarray(bf16_cache, np.float32)).max()
+    )
+    assert rel < 0.02, rel
+
+    out_bf16 = D.dense_predict(model, params, batch, cfg, ref_tokens=bf16_cache)
+    out_int8 = D.dense_predict(model, params, batch, cfg, ref_tokens=q_cache)
+    np.testing.assert_allclose(
+        np.asarray(out_int8["pred_kpts_2d"]),
+        np.asarray(out_bf16["pred_kpts_2d"]),
+        atol=2.0,  # pixels
+    )

@@ -80,8 +80,60 @@ def run(lens):
                 print(f"  {name:12s} FAILED: {type(e).__name__}: {e}", flush=True)
 
 
+def run_block_sweep(N):
+    """VERDICT r4 item 2: sweep per-kernel (dq, dkv) block configs at the
+    flagship backward shape — the symmetric 1024 cap exists because
+    symmetric 1536 blocks OOM scoped VMEM inside lax loops; asymmetric
+    configs may recover the ~13 ms/step backward excess."""
+    from boxdreamer_tpu.ops import attention as A
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.bfloat16)
+    g = jnp.asarray(rng.standard_normal((B, H, N, D)), jnp.bfloat16)
+    scale = D**-0.5
+
+    configs = [
+        ("sym1024(old default)", (1024, 1024), (1024, 1024)),
+        ("dq1536x768/dkv768x1536", (1536, 768), (768, 1536)),
+        ("dq1536x512/dkv512x1536", (1536, 512), (512, 1536)),
+        ("dq768x768/dkv768x768", (768, 768), (768, 768)),
+    ]
+    # LONG chains: at the 12-step spans of the generic tuner, per-config
+    # deltas (~0.5 ms/step) drown in tunnel jitter (+-5 ms on a 60 ms
+    # fetch) — three round-5 sweeps disagreed by 50% on IDENTICAL configs.
+    # A 48-step span amortizes the jitter ~6x.
+    print(f"block sweep at N={N}, B={B} H={H} D={D} "
+          "(fwd+bwd chain-slope, k16->k64, best-of-2):", flush=True)
+    for name, dqb, dkvb in configs:
+        def fwdbwd(q, k, v, g, dqb=dqb, dkvb=dkvb):
+            out, lse = A.flash_attention(q, k, v, scale, return_lse=True)
+            return A.flash_attention_bwd(
+                q, k, v, out, lse, g, scale, dq_blocks=dqb, dkv_blocks=dkvb
+            )
+
+        try:
+            best = float("inf")
+            for _ in range(2):
+                t1, c1 = chain_time(fwdbwd, (q, k, v, g), 16)
+                t2, c2 = chain_time(fwdbwd, (q, k, v, g), 64)
+                assert np.isfinite(c2)
+                best = min(best, (t2 - t1) / 48.0)
+            print(f"  {name:28s} {best:8.2f} ms/fwd+bwd "
+                  f"(last t16={t1:7.1f} t64={t2:7.1f})", flush=True)
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).splitlines()[0][:100] if str(e) else type(e).__name__
+            print(f"  {name:28s} FAILED: {msg}", flush=True)
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--lens", nargs="+", type=int, default=[1024, 1536, 2048, 3072])
+    p.add_argument("--blocks", action="store_true",
+                   help="sweep per-kernel dq/dkv block configs at --lens[0]")
     a = p.parse_args()
-    run(a.lens)
+    if a.blocks:
+        run_block_sweep(a.lens[0])
+    else:
+        run(a.lens)

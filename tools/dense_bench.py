@@ -103,6 +103,9 @@ def main():
     p.add_argument("--refs", type=int, default=25)
     p.add_argument("--int8", action="store_true",
                    help="decoder int8 serving mode (BETRConfig.quantize)")
+    p.add_argument("--cached-store", default="bf16", choices=["bf16", "int8"],
+                   help="token-cache storage for the cachedrefs config "
+                        "(int8 = 4.1x smaller DB, dequant at entry)")
     p.add_argument("--only", default=None,
                    help="substring filter on configuration names")
     args = p.parse_args()
@@ -163,7 +166,9 @@ def main():
             # Shared DB: encode row 0's refs once; tokens ride the batch
             # dict as a jit ARG (never a closure — remote-compile 413).
             b["ref_tokens"] = jax.jit(
-                lambda pp, im: encode_dense_references(model, pp, im)
+                lambda pp, im: encode_dense_references(
+                    model, pp, im, store=args.cached_store
+                )
             )(params, b["images"][0, :-1])
 
         def run_fn(pp, bb, d=dcfg):

@@ -80,12 +80,19 @@ def main():
 
     results = {}
     default_gate = attn_ops.FLASH_MIN_SEQ_LEN
-    variants = (("xla", default_gate),) if a.xla_only else (
-        ("xla", default_gate), ("flash", 1))
-    for name, gate in variants:
+    default_mh = attn_ops.MHA_MULTIHEAD_MIN_BH
+    # (name, FLASH_MIN_SEQ_LEN, MHA_MULTIHEAD_MIN_BH): 'multihead' forces
+    # the round-5 whole-head-stack short-sequence kernel.
+    variants = (("xla", default_gate, None),) if a.xla_only else (
+        ("xla", default_gate, None),
+        ("flash", 1, None),
+        ("multihead", default_gate, 1),
+    )
+    for name, gate, mh in variants:
         attn_ops.FLASH_MIN_SEQ_LEN = gate
+        attn_ops.MHA_MULTIHEAD_MIN_BH = mh
         try:
-            s, t1, t2 = slope_ms(apply_fn, params, images, seed=17 * gate)
+            s, t1, t2 = slope_ms(apply_fn, params, images, seed=17 * gate + (mh or 0))
             results[name] = {
                 "ms_per_step": round(s, 3),
                 "chainK_ms": round(t1, 1),
@@ -93,8 +100,13 @@ def main():
             }
             print(f"{name}: {s:.3f} ms/step (K {t1:.1f}, 2K {t2:.1f})",
                   file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            msg = str(e).splitlines()[0][:120] if str(e) else type(e).__name__
+            print(f"{name}: FAILED {msg}", file=sys.stderr, flush=True)
+            results[name] = {"error": msg}
         finally:
             attn_ops.FLASH_MIN_SEQ_LEN = default_gate
+            attn_ops.MHA_MULTIHEAD_MIN_BH = default_mh
 
     print(json.dumps({"device": jax.devices()[0].device_kind,
                       "batch": B, "results": results}))
