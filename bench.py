@@ -3,11 +3,18 @@
 Measures the BASELINE.json metric — frames/sec/chip on the LINEMOD eval
 protocol: batched query inference (batch 8, the reference's eval loader
 size, configs/datamodule/test.yaml) against 5 cached reference views at
-224x224, flagship model (DINOv2 ViT-B/14-reg + 12-layer BETR), bf16
-compute. Every frame runs the FULL on-device program — DINOv2 encode,
-BETR over 1536 tokens, top-k corner decode, batched DLT+GN PnP — the work
-the reference splits across CUDA and per-sample OpenCV CPU calls (>40 FPS
-single-stream on an RTX 4090, README FAQ).
+224x224, flagship model (DINOv2 ViT-B/14-reg + 12-layer BETR). Every frame
+runs the FULL on-device program — DINOv2 encode, BETR over 1536 tokens,
+top-k corner decode, batched DLT+GN PnP — the work the reference splits
+across CUDA and per-sample OpenCV CPU calls (>40 FPS single-stream on an
+RTX 4090, README FAQ).
+
+Serving mode: int8 decoder GEMMs (the round-4 opt-in mode, promoted to the
+serving default in round 5 after the in-env accuracy proxy passed —
+tests/parity/test_int8_accuracy.py trains flagship-width weights and shows
+identical pose-metric buckets and <1px keypoint deltas vs float; measured
++16.5% over bf16 on v5e, tools/int8_serving_ab.py). Attention, encoder,
+decode, and PnP stay bf16/f32. Set BENCH_BF16=1 to bench the bf16 path.
 
 Measurement protocol (self-validating — see VERDICT.md round-1 item 1):
 the timed unit is ONE dispatch of a `lax.scan` chain of K full query
@@ -104,7 +111,14 @@ def main():
               file=sys.stderr)
         sys.exit(1)
 
-    model = BoxDreamer(BoxDreamerConfig())
+    import os
+
+    from boxdreamer_tpu.models import BETRConfig
+
+    quantize = None if os.environ.get("BENCH_BF16") else "int8"
+    print(f"serving mode: {'bf16' if quantize is None else quantize}",
+          file=sys.stderr, flush=True)
+    model = BoxDreamer(BoxDreamerConfig(betr=BETRConfig(quantize=quantize)))
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
 
     ref_images = jax.random.uniform(ks[0], (BATCH, N_REFS, 3, SIZE, SIZE))
