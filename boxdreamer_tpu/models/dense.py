@@ -270,7 +270,13 @@ def encode_dense_references(
         from boxdreamer_tpu.ops import quant
 
         vals, scales = quant.quantize_rows_int8(tokens)
-        return {"int8": vals, "scale": scales, "dtype": str(tokens.dtype)}
+        # 'like' carries the dequant dtype as a zero-size array — a plain
+        # dtype string is not a valid jit output type.
+        return {
+            "int8": vals,
+            "scale": scales,
+            "like": jnp.zeros((0,), tokens.dtype),
+        }
     return tokens
 
 
@@ -281,7 +287,7 @@ def _materialize_ref_tokens(ref_tokens):
         # scale already carries the keepdims trailing 1 (quantize_rows_int8)
         return (
             ref_tokens["int8"].astype(jnp.float32) * ref_tokens["scale"]
-        ).astype(jnp.dtype(ref_tokens.get("dtype", "bfloat16")))
+        ).astype(ref_tokens["like"].dtype)
     return ref_tokens
 
 

@@ -43,8 +43,12 @@ N_REFS = 5
 SIZE = 224
 
 
-def build(batch: int):
-    model = BoxDreamer(BoxDreamerConfig())
+def build(batch: int, quantize=None):
+    from boxdreamer_tpu.models import BETRConfig
+
+    model = BoxDreamer(
+        BoxDreamerConfig(betr=BETRConfig(quantize=quantize))
+    )
     ks = jax.random.split(jax.random.PRNGKey(0), 8)
     ref_images = jax.random.uniform(ks[0], (batch, N_REFS, 3, SIZE, SIZE))
     ref_bf = jax.random.uniform(ks[1], (batch, N_REFS, 8, SIZE, SIZE)) * 2 - 1
@@ -135,9 +139,13 @@ def main():
         "--stages", default="enc,embed,betr,decode,full",
         help="comma-separated subset (each stage costs 2 chain compiles)",
     )
+    ap.add_argument("--int8", action="store_true",
+                    help="profile the promoted int8 serving mode")
     args = ap.parse_args()
 
-    model, params, refs, K_intr, batch = build(args.batch)
+    model, params, refs, K_intr, batch = build(
+        args.batch, quantize="int8" if args.int8 else None
+    )
     print(
         f"stage profile (batch {args.batch}, slope of {args.k}->"
         f"{2*args.k} chain steps):",
