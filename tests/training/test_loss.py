@@ -102,3 +102,42 @@ def test_from_config():
     assert np.isfinite(float(total))
     # smooth_l1(0.5) = 0.125 (query only); mse adds 0.5*0.25 + 0.5*0.25.
     np.testing.assert_allclose(float(total), 0.125 + 0.25, rtol=1e-6)
+
+
+def test_perceptual_loss_term_from_config():
+    """The 'PerceptualLoss' loss-term type (reference loss.py:29-30) builds
+    from the YAML losses list and computes a scalar on image pairs."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from boxdreamer_tpu.training import loss as L
+
+    loss = L.from_config(
+        [
+            {"type": "smooth_l1", "weight": [1.0, 0.0]},
+            {
+                "type": "PerceptualLoss",
+                "weight": [0.1, 0.0],
+                "pred_key": "nvs_rgb",
+                "gt_key": "nvs_rgb_gt",
+                "mask_key": "",
+            },
+        ]
+    )
+    assert not loss.query_frame_only
+    rng = np.random.default_rng(0)
+    B, T = 2, 3
+    data = {
+        "pred_bbox": jnp.asarray(rng.uniform(-1, 1, (B, T, 8, 28, 28)), jnp.float32),
+        "bbox_feat": jnp.asarray(rng.uniform(-1, 1, (B, T, 8, 28, 28)), jnp.float32),
+        "camera_mask": jnp.zeros((B, T), bool).at[:, -1].set(True),
+        "nvs_rgb": jnp.asarray(rng.uniform(0, 1, (B, 3, 28, 28)), jnp.float32),
+        "nvs_rgb_gt": jnp.asarray(rng.uniform(0, 1, (B, 3, 28, 28)), jnp.float32),
+    }
+    total, details = loss(data)
+    assert np.isfinite(float(total)) and float(total) > 0
+    assert "nvs_rgb" in details and float(details["nvs_rgb"]) > 0
+    # identical images -> zero perceptual term
+    data["nvs_rgb_gt"] = data["nvs_rgb"]
+    _, details2 = loss(data)
+    assert float(details2["nvs_rgb"]) < 1e-10
