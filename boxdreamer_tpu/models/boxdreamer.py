@@ -161,9 +161,18 @@ def forward_with_pose(
     B, T = batch["images"].shape[:2]
     camera_mask = camera_mask_from_query_idx(batch["query_idx"], T)
 
-    heatmaps = model.apply(
-        params, batch["images"], batch["bbox_feat"], camera_mask
-    )  # (B, c, H, W)
+    aux = {}
+    if cfg.betr.nvs_supervision:
+        # NVS variant: also surface the decoded query image so the image
+        # metric branch (reference rgb_metrics 'pred_images') can score it.
+        heatmaps, aux = model.apply(
+            params, batch["images"], batch["bbox_feat"], camera_mask,
+            return_aux=True,
+        )
+    else:
+        heatmaps = model.apply(
+            params, batch["images"], batch["bbox_feat"], camera_mask
+        )  # (B, c, H, W)
 
     norm_kpts, kpts = decode_ops.decode_bbox_features(
         heatmaps, cfg.bbox_representation, k=cfg.decode_topk
@@ -178,12 +187,15 @@ def forward_with_pose(
 
     poses = pnp_ops.solve_pnp(bbox_3d_q, kpts, K_q, iters=cfg.pnp_iters)
 
-    return {
+    out = {
         "pred_bbox": heatmaps,
         "pred_kpts_2d": kpts,
         "pred_kpts_2d_normalized": norm_kpts,
         "pred_poses": poses,
     }
+    if "nvs_rgb" in aux:
+        out["nvs_rgb"] = aux["nvs_rgb"]
+    return out
 
 
 def forward_with_pose_rays(

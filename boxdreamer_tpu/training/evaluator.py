@@ -163,6 +163,14 @@ class Evaluator:
                         gt_heatmaps=np.asarray(batch["bbox_feat"][b][q]),
                         batch_id=(dataloader_id, batch_i),
                     )
+                if "nvs_rgb" in out:
+                    # Image-metric branch (reference rgb_metrics): PSNR of
+                    # the NVS-decoded query image vs the GT crop.
+                    metrics.update_image(
+                        np.asarray(out["nvs_rgb"][b]),
+                        np.asarray(batch["images"][b][q]),
+                        cat=cat,
+                    )
                 metrics.update(
                     image_path=image_path,
                     pose_pred=pred_poses[b],

@@ -190,6 +190,28 @@ class Metrics:
                 "proj2D_metric", cat, proj2d_mean_error(model_pts, K, pred[:3], gt[:3])
             )
 
+    def update_image(self, pred_img: np.ndarray, gt_img: np.ndarray,
+                     cat: str = "all") -> Optional[float]:
+        """Image-metric branch (reference Metrics.rgb_metrics,
+        metric_utils.py:131-160): PSNR of the NVS-predicted query image vs
+        the GT crop, accumulated per category under 'psnr'. Matches
+        torchmetrics.PeakSignalNoiseRatio's default data_range semantics
+        (range inferred per update from the joint max-min). No-op unless
+        'image' is in metrics_list."""
+        if "image" not in self.config.metrics_list:
+            return None
+        p = np.asarray(pred_img, dtype=np.float64)
+        g = np.asarray(gt_img, dtype=np.float64)
+        both = np.concatenate([p.ravel(), g.ravel()])
+        data_range = float(both.max() - both.min())
+        mse = float(np.mean((p - g) ** 2))
+        if mse == 0.0:
+            psnr = float("inf")
+        else:
+            psnr = 10.0 * np.log10(max(data_range, 1e-12) ** 2 / mse)
+        self._append("psnr", cat, psnr)
+        return psnr
+
     def merge(self, other: "Metrics"):
         """Merge another accumulator (multi-host / multi-process gather)."""
         for name, cats in other._store.items():
@@ -235,6 +257,10 @@ class Metrics:
                     np.mean(p2d < self.config.proj2d_thres)
                 )
                 agg.setdefault(f"proj2D-AUC(40px) {did}", {})[cat] = auc(p2d, 40.0)
+        # image branch categories may not overlap the pose ones
+        for cat, vals in self._store.get("psnr", {}).items():
+            if vals:
+                agg.setdefault(f"psnr_{did}", {})[cat] = float(np.mean(vals))
         return agg
 
     def save_json(self, path: str):

@@ -116,3 +116,35 @@ def test_save_json(tmp_path):
 
     data = json.loads(p.read_text())
     assert "5cm@5degree_0" in data
+
+
+def test_image_psnr_branch_matches_torchmetrics_semantics():
+    """'image' metrics branch (reference rgb_metrics, metric_utils.py:
+    131-160): PSNR with torchmetrics' default inferred data_range,
+    aggregated as psnr_{dataloader_id} per category."""
+    import numpy as np
+
+    from boxdreamer_tpu.training.metrics import Metrics, MetricsConfig
+
+    m = Metrics(MetricsConfig(metrics_list=("pose_error", "image")),
+                dataloader_id=1)
+    rng = np.random.default_rng(0)
+    gt = rng.uniform(0, 1, (3, 16, 16))
+    pred = np.clip(gt + rng.normal(0, 0.05, gt.shape), 0, 1)
+    val = m.update_image(pred, gt, cat="cam")
+    # torchmetrics PeakSignalNoiseRatio default: data_range = joint
+    # max - min; psnr = 10 log10(range^2 / mse)
+    both = np.concatenate([pred.ravel(), gt.ravel()])
+    want = 10 * np.log10((both.max() - both.min()) ** 2 /
+                         np.mean((pred - gt) ** 2))
+    assert val == pytest.approx(want, rel=1e-12)
+
+    m.update_image(gt, gt, cat="cam")  # identical -> inf
+    agg = m.aggregate()
+    assert "psnr_1" in agg and set(agg["psnr_1"]) == {"cam", "all"}
+    assert np.isinf(agg["psnr_1"]["cam"])
+
+    # disabled unless 'image' is listed
+    m2 = Metrics(MetricsConfig())
+    assert m2.update_image(pred, gt) is None
+    assert "psnr_0" not in m2.aggregate()

@@ -120,3 +120,42 @@ def test_nvs_rgb_approaches_query_image():
         state, _ = step(state, batch, sub)
     after = nvs_err(state.params)
     assert after < before * 0.5, (before, after)
+
+
+def test_evaluator_image_metric_branch(tmp_path):
+    """NVS model + 'image' metrics_list: the Evaluator scores PSNR of the
+    decoded query image (reference rgb_metrics -> psnr_{id} keys)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(__file__), "..", "data")
+    )
+    from fixture import make_linemod_fixture
+
+    from boxdreamer_tpu.data import DatasetConfig, build_dataset
+    from boxdreamer_tpu.training.evaluator import Evaluator
+    from boxdreamer_tpu.training.metrics import MetricsConfig
+
+    root = make_linemod_fixture(str(tmp_path / "lm"), n_train=4, n_test=2)
+    ds = build_dataset(
+        "LINEMOD", DatasetConfig(image_size=S, length=3), "test", root=root
+    )
+    model = _model()  # nvs_supervision=True
+    b0 = ds[0]
+    mask = jax.nn.one_hot(jnp.asarray([2]), 3, dtype=jnp.bool_)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.asarray(b0["images"])[None],
+        jnp.asarray(b0["bbox_feat"])[None],
+        mask,
+    )
+    ev = Evaluator(
+        model, params, batch_size=2, num_workers=0,
+        metrics_config=MetricsConfig(
+            metrics_list=("pose_error", "ADD", "proj2d", "image")
+        ),
+    )
+    agg = ev.run_dataset(ds).aggregate()
+    assert "psnr_0" in agg and "all" in agg["psnr_0"]
+    assert np.isfinite(agg["psnr_0"]["all"])
