@@ -139,6 +139,13 @@ class BETR(nn.Module):
         assert cfg.nvs_supervision or cfg.ray_supervision, (
             "At least one supervision should be True"
         )
+        if cfg.pose_representation not in ("bb8", "plucker"):
+            # Parity with the reference's dead 'vector' path
+            # (betr.py:96-99,421-424 both raise) — without this, 'vector'
+            # would silently run the bb8 head.
+            raise NotImplementedError(
+                f"Not implemented pose_representation: {cfg.pose_representation}"
+            )
 
         if cfg.pose_representation == "plucker":
             return self._plucker_forward(
