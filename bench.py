@@ -46,7 +46,13 @@ BASELINE_FPS = 40.0  # RTX 4090, reference README.md:371
 N_REFS = 5
 SIZE = 224
 BATCH = 8  # reference eval loader batch (configs/datamodule/test.yaml)
-K_STEPS = 16  # chain length; also timed at 2*K_STEPS for the linearity check
+# Chain length; also timed at 2*K_STEPS for the linearity check. 32 (up
+# from 16, round 5): the fetch pays one transport round-trip (~20-40 ms
+# through the axon tunnel) per dispatch; at 2K=64 steps x batch 8 = 512
+# frames that fixed cost is ~2x better amortized — same protocol, less
+# transport artifact in a throughput metric. Compile time is unchanged
+# (the scan body compiles once regardless of length).
+K_STEPS = 32
 REPEATS = 3  # best-of timing per chain length
 
 # Most generous known single-chip bf16 peak (TPU v6e/Trillium). Using the
