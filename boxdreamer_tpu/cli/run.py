@@ -37,6 +37,7 @@ def build_everything(cfg):
         log_every_n_steps=int(cfg.trainer.log_every_n_steps),
         checkpoint_every_n_steps=int(cfg.trainer.checkpoint_every_n_steps),
         check_val_every_n_epoch=int(cfg.trainer.check_val_every_n_epoch),
+        encode_chunk=int(cfg.trainer.get("encode_chunk", 0)),
         checkpoint_dir=os.path.join("models", "checkpoints", str(cfg.exp_name)),
         mesh_data=int(cfg.trainer.mesh.data),
         mesh_model=int(cfg.trainer.mesh.model),

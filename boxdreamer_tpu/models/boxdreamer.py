@@ -78,6 +78,7 @@ class BoxDreamer(nn.Module):
         camera_mask: jax.Array,
         deterministic: bool = True,
         return_aux: bool = False,
+        precomputed_tokens: Optional[jax.Array] = None,
     ) -> jax.Array:
         """Args:
             images: (B, T, 3, H, W) crops in [0, 1].
@@ -85,6 +86,10 @@ class BoxDreamer(nn.Module):
             camera_mask: (B, T) bool, True at the query frame.
             return_aux: also return the decoder's auxiliary-head dict
                 ({'nvs_rgb'} when betr.nvs_supervision).
+            precomputed_tokens: (B, T, P, C) encoder tokens computed
+                outside this apply (the chunked-encode training path,
+                train_step.py:make_train_step encode_chunk) — skips the
+                in-graph encoder entirely. Caller owns stop_gradient.
 
         Returns:
             (B, box_dim, H, W) query heatmaps in [-1, 1]; with return_aux,
@@ -94,7 +99,9 @@ class BoxDreamer(nn.Module):
         B, T = images.shape[:2]
 
         rgb_tokens = None
-        if cfg.encoder != "none":
+        if precomputed_tokens is not None:
+            rgb_tokens = precomputed_tokens
+        elif cfg.encoder != "none":
             flat = images.reshape((B * T,) + images.shape[2:])
             if cfg.encoder == "dino":
                 tokens = DinoViT(cfg.dino, name="encoder")(flat)

@@ -96,13 +96,26 @@ def make_train_step(
     loss: Loss,
     tx: optax.GradientTransformation,
     deterministic: bool = False,
+    encode_chunk: int = 0,
 ) -> Callable:
     """Build the jitted train step.
 
     ``deterministic=True`` disables dropout inside the forward — used by the
     twin-training dynamics golden (tests/parity/test_train_twin.py), which
     compares loss trajectories against the real reference trainer where
-    stochastic dropout cannot be seed-matched across frameworks."""
+    stochastic dropout cannot be seed-matched across frameworks.
+
+    ``encode_chunk``: run the FROZEN encoder over the (B*T) image stack in
+    sequential chunks of this many images (jax.lax.map) instead of one
+    batched call. At the flagship train shape the batched B*T=48 DINOv2
+    forward is HBM-superlinear (24.2 ms vs 6 x 3.06 ms at B=8 — CLAUDE.md
+    round-4 close-out), so chunking trades defeated parallelism for cache
+    locality. EXACT (the encoder is frozen + deterministic); 0 disables.
+    Only valid when the model's encoder is frozen — gradients do not flow
+    through lax.map'd tokens (stop_gradient is applied, matching the
+    in-graph frozen-encoder path). Single-device knob: with a DP-sharded
+    batch the (B*T) reshape would reshuffle across devices — leave 0 on a
+    mesh unless measured."""
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
         batch = ensure_bbox_feat(batch, model)
@@ -119,7 +132,34 @@ def make_train_step(
             t.pred_key == "nvs_rgb" for t in loss.terms
         )
 
+        use_chunked_encode = (
+            encode_chunk > 0
+            and model.config.encoder != "none"
+            and model.config.freeze_encoder
+            and (batch["images"].shape[0] * batch["images"].shape[1])
+            > encode_chunk
+            and (batch["images"].shape[0] * batch["images"].shape[1])
+            % encode_chunk == 0
+        )
+
         def loss_fn(params):
+            tokens = None
+            if use_chunked_encode:
+                from boxdreamer_tpu.models.predictor import encoder_apply
+
+                imgs = batch["images"]
+                B_, T_ = imgs.shape[:2]
+                flat = imgs.reshape((B_ * T_,) + imgs.shape[2:])
+                chunks = flat.reshape(
+                    (-1, encode_chunk) + flat.shape[1:]
+                )
+                toks = jax.lax.map(
+                    lambda c: encoder_apply(model, params, c), chunks
+                )
+                toks = toks.reshape((B_ * T_,) + toks.shape[2:])
+                tokens = jax.lax.stop_gradient(
+                    toks.reshape(B_, T_, toks.shape[1], toks.shape[2])
+                )
             pred = model.apply(
                 params,
                 batch["images"],
@@ -128,6 +168,7 @@ def make_train_step(
                 deterministic=deterministic,
                 rngs={"dropout": rng},
                 return_aux=needs_nvs,
+                precomputed_tokens=tokens,
             )
             aux = {}
             if needs_nvs:

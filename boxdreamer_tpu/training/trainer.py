@@ -80,6 +80,13 @@ class TrainerConfig:
     # Compute the pose-metric suite during validation (reference
     # validation_step -> Metrics, BoxDreamer_lightning_model.py:126-217).
     val_pose_metrics: bool = True
+    # Sequential frozen-encoder chunking in the train step (exact; see
+    # make_train_step). Measured on v5e at flagship B8/T6: 121.1 -> 114.6
+    # ms/step with chunk 16 (the batched 48-image DINOv2 forward is
+    # HBM-superlinear). 0 = off; single-device knob — ignored when a
+    # multi-device mesh shards the batch (the B*T reshape would cross
+    # device boundaries).
+    encode_chunk: int = 0
 
 
 class Trainer:
@@ -227,7 +234,12 @@ class Trainer:
         self.state = self._init_state(sample, resume_path, pretrained_path)
         self._install_signal_handlers()
 
-        step_fn = make_train_step(self.model, self.train_loss, self._tx)
+        # encode_chunk only off-mesh: with >1 device the (B*T) chunk
+        # reshape would shuffle the sharded batch axis across devices.
+        chunk = cfg.encode_chunk if self.mesh.devices.size == 1 else 0
+        step_fn = make_train_step(
+            self.model, self.train_loss, self._tx, encode_chunk=chunk
+        )
         rng = jax.random.PRNGKey(cfg.seed + 1)
 
         total_steps = 0

@@ -166,3 +166,55 @@ def test_query_only_loss_fast_path_exact():
     # Non-default terms must NOT take the fast path.
     assert not Loss([LossTerm(weight=(1.0, 0.5))]).query_frame_only
     assert not Loss([LossTerm(type="focal")]).query_frame_only
+
+
+def test_chunked_encode_train_step_exact():
+    """encode_chunk runs the frozen encoder in sequential lax.map chunks
+    (HBM-superlinearity workaround, make_train_step docstring) — the loss
+    is bit-identical and params match to f32 reassociation."""
+    import numpy as np
+
+    from boxdreamer_tpu.models import (
+        BETRConfig, BoxDreamer, BoxDreamerConfig, DinoViTConfig,
+    )
+    from boxdreamer_tpu.training.loss import Loss
+    from boxdreamer_tpu.training.optim import OptimConfig
+    from boxdreamer_tpu.training.train_step import (
+        create_train_state, make_train_step,
+    )
+
+    S = 28
+    model = BoxDreamer(
+        BoxDreamerConfig(
+            betr=BETRConfig(d_model=32, nhead=2, num_decoder_layers=1,
+                            patch_size=14, img_size=S, dtype="float32"),
+            dino=DinoViTConfig(img_size=S, patch_size=14, embed_dim=32,
+                               depth=1, num_heads=2, dtype="float32"),
+            pnp_iters=3,
+        )
+    )
+    rng = np.random.default_rng(0)
+    B, T = 2, 3
+    batch = {
+        "images": jnp.asarray(rng.uniform(0, 1, (B, T, 3, S, S)), jnp.float32),
+        "bbox_feat": jnp.asarray(
+            rng.uniform(-1, 1, (B, T, 8, S, S)), jnp.float32
+        ),
+        "query_idx": jnp.full((B,), T - 1, jnp.int32),
+    }
+    state, tx = create_train_state(
+        model, OptimConfig(lr=1e-3, use_warmup=False, scheduler="constant"),
+        jax.random.PRNGKey(0), batch,
+    )
+    s0 = make_train_step(model, Loss(), tx, deterministic=True)
+    s1 = make_train_step(model, Loss(), tx, deterministic=True, encode_chunk=2)
+    k = jax.random.PRNGKey(1)
+    cp = lambda s: jax.tree_util.tree_map(jnp.copy, s)  # donated argnums
+    n0, m0 = s0(cp(state), batch, k)
+    n1, m1 = s1(cp(state), batch, k)
+    # f32 reassociation only (lax.map chunking reorders reductions)
+    assert abs(float(m0["loss"]) - float(m1["loss"])) < 1e-6
+    deltas = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()), n0.params, n1.params
+    )
+    assert max(jax.tree_util.tree_leaves(deltas)) < 1e-4

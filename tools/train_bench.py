@@ -94,6 +94,8 @@ def _compiled_flops(compiled) -> float:
 
 
 def main():
+    import argparse
+
     from boxdreamer_tpu.models import BoxDreamer, BoxDreamerConfig
     from boxdreamer_tpu.training.loss import Loss
     from boxdreamer_tpu.training.optim import OptimConfig
@@ -101,6 +103,12 @@ def main():
         create_train_state,
         make_train_step,
     )
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--encode-chunk", type=int, default=0,
+                    help="sequential frozen-encoder chunk size (0 = one "
+                         "batched B*T encode; see make_train_step)")
+    args = ap.parse_args()
 
     def stage(msg):
         print(msg, file=sys.stderr, flush=True)
@@ -134,7 +142,7 @@ def main():
     # must time shipped code, incl. its dispatch choices (query-only loss
     # fast path, unpacked flash attention in training). Its inner jit
     # inlines under the chain trace.
-    step_fn = make_train_step(model, loss, tx)
+    step_fn = make_train_step(model, loss, tx, encode_chunk=args.encode_chunk)
 
     def train_chain(state, step_keys, rng):
         """K serialized full train steps in ONE dispatch. The TrainState
