@@ -279,11 +279,20 @@ def main():
         flops_per_frame = analytic
         flops_src = "analytic"
     peak = _chip_peak()
+    peak_label = "bf16"
+    if quantize == "int8":
+        # The decoder GEMMs run on the int8 MXU path (~2x the bf16 rate on
+        # every TPU generation) — the impossibility guard must use the peak
+        # of the mode it measures, or a legitimately fast int8 program
+        # would be refused as a transport artifact.
+        peak = peak * 2.0
+        peak_label = "int8-weighted"
     mfu = fps * flops_per_frame / peak
     print(
         f"flops/frame = {flops_per_frame/1e9:.1f} GF ({flops_src}); "
         f"device = {jax.devices()[0].device_kind}; "
-        f"peak(bf16) = {peak/1e12:.0f} TF/s; implied MFU = {mfu*100:.1f}%",
+        f"peak({peak_label}) = {peak/1e12:.0f} TF/s; "
+        f"implied MFU = {mfu*100:.1f}%",
         file=sys.stderr,
     )
     if mfu >= 1.0:

@@ -42,7 +42,12 @@ def eval_argv(
         if tok.startswith("--"):
             options.append(tok)
             if "=" not in tok:
-                options.append(next(it))
+                try:
+                    options.append(next(it))
+                except StopIteration:
+                    raise ValueError(
+                        f"option {tok!r} is missing its value"
+                    ) from None
         else:
             overrides.append(tok)
     return [

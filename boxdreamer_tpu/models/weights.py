@@ -144,6 +144,21 @@ def convert_betr(
     ):
         if f"{name}.weight" in s:
             params[name] = _linear(s, name)
+    # The heads the target config will read MUST be present — otherwise the
+    # mismatch (e.g. a plucker checkpoint into a bb8 config, or a truncated
+    # file) surfaces later as a cryptic flax missing-parameter error.
+    if cfg.pose_representation == "plucker":
+        required = ["camera_ray_proj"] + (["ray_emb"] if cfg.use_pretrained else [])
+    else:
+        required = ["bbox_proj"] + (["bbox_emb"] if cfg.use_pretrained else [])
+    missing = [n for n in required if n not in params]
+    if missing:
+        raise KeyError(
+            f"checkpoint lacks head(s) {missing} required by "
+            f"pose_representation={cfg.pose_representation!r} "
+            f"(use_pretrained={cfg.use_pretrained}); found keys: "
+            f"{sorted(k for k in s if k.count('.') <= 1)[:20]}"
+        )
     if "input_transform.fc1.weight" in s:
         params["input_transform"] = {
             "fc1": _linear(s, "input_transform.fc1"),

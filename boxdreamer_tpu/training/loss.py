@@ -160,8 +160,14 @@ class Loss:
 
             if term.type == "PerceptualLoss":
                 # pred/gt are query-frame images (B, 3, H, W); no masking —
-                # the NVS head already decodes only the query tokens.
-                loss = self._perceptual(pred, gt) * term.weight[0]
+                # the NVS head already decodes only the query tokens. The
+                # VGG params ride the data dict ('_vgg_params', injected by
+                # make_train_step OUTSIDE the jit boundary) so they trace
+                # as arguments, not 59 MB of HLO literals (remote-compile
+                # 413 gotcha).
+                loss = self._perceptual(
+                    pred, gt, params=data.get("_vgg_params")
+                ) * term.weight[0]
             elif term.type in _SCALAR:
                 # Scalar losses are applied to query frames only via mask==1
                 # pre-selection with where (content at ref frames zeroed).

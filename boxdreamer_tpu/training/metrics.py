@@ -195,15 +195,17 @@ class Metrics:
         """Image-metric branch (reference Metrics.rgb_metrics,
         metric_utils.py:131-160): PSNR of the NVS-predicted query image vs
         the GT crop, accumulated per category under 'psnr'. Matches
-        torchmetrics.PeakSignalNoiseRatio's default data_range semantics
-        (range inferred per update from the joint max-min). No-op unless
-        'image' is in metrics_list."""
+        torchmetrics.PeakSignalNoiseRatio's default data_range inference:
+        the range comes from the TARGET only (torchmetrics functional psnr:
+        ``data_range = target.max() - target.min()`` when unset) — using
+        the joint pred+gt range would inflate PSNR whenever the raw linear
+        NVS output exceeds the [0, 1] crop range. No-op unless 'image' is
+        in metrics_list."""
         if "image" not in self.config.metrics_list:
             return None
         p = np.asarray(pred_img, dtype=np.float64)
         g = np.asarray(gt_img, dtype=np.float64)
-        both = np.concatenate([p.ravel(), g.ravel()])
-        data_range = float(both.max() - both.min())
+        data_range = float(g.max() - g.min())
         mse = float(np.mean((p - g) ** 2))
         if mse == 0.0:
             psnr = float("inf")

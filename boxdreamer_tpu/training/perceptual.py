@@ -69,10 +69,18 @@ class PerceptualLoss:
         self.params = params
         self.weights = tuple(weights)
 
-    def __call__(self, pred: jax.Array, target: jax.Array) -> jax.Array:
-        """pred/target: (B, 3, H, W) in [0, 1] -> scalar loss."""
-        f_pred = self.model.apply(self.params, pred)
-        f_tgt = self.model.apply(self.params, jax.lax.stop_gradient(target))
+    def __call__(self, pred: jax.Array, target: jax.Array,
+                 params: Any = None) -> jax.Array:
+        """pred/target: (B, 3, H, W) in [0, 1] -> scalar loss.
+
+        ``params``: optional VGG param tree to use INSTEAD of the held one —
+        jitted callers must thread it as a traced argument (a
+        closure-captured ~59 MB tree bakes into the HLO as literals and the
+        axon remote-compile endpoint rejects the payload with HTTP 413;
+        same gotcha as stage_profile/dense_bench, CLAUDE.md)."""
+        p = self.params if params is None else params
+        f_pred = self.model.apply(p, pred)
+        f_tgt = self.model.apply(p, jax.lax.stop_gradient(target))
         loss = jnp.asarray(0.0, jnp.float32)
         for w, a, b in zip(self.weights, f_pred, f_tgt):
             loss = loss + w * jnp.mean(

@@ -134,7 +134,9 @@ def make_train_step(
 
         use_chunked_encode = (
             encode_chunk > 0
-            and model.config.encoder != "none"
+            # encoder_apply is the DINOv2 submodule runner; resnet configs
+            # take the in-graph path (its token-grid resize lives there).
+            and model.config.encoder == "dino"
             and model.config.freeze_encoder
             and (batch["images"].shape[0] * batch["images"].shape[1])
             > encode_chunk
@@ -229,7 +231,21 @@ def make_train_step(
         metrics = {"loss": total, **{f"loss/{k}": v for k, v in details.items()}}
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    jitted = jax.jit(train_step, donate_argnums=(0,))
+    vgg_params = getattr(loss, "_perceptual", None)
+    if vgg_params is None:
+        return jitted
+    vgg_params = vgg_params.params
+
+    def train_step_with_vgg(state, batch, rng):
+        # Inject the VGG tree as a traced ARGUMENT (via the batch pytree)
+        # outside the jit boundary — closure capture would bake ~59 MB of
+        # literals into the HLO and 413 the axon remote compile (CLAUDE.md).
+        batch = dict(batch)
+        batch["_vgg_params"] = vgg_params
+        return jitted(state, batch, rng)
+
+    return train_step_with_vgg
 
 
 def make_eval_step(model: BoxDreamer, loss: Optional[Loss] = None) -> Callable:
@@ -247,8 +263,26 @@ def make_eval_step(model: BoxDreamer, loss: Optional[Loss] = None) -> Callable:
                 batch["bbox_feat"], out["pred_bbox"], camera_mask
             )
             data["camera_mask"] = camera_mask
+            if "nvs_rgb" in out:
+                B = batch["images"].shape[0]
+                q = batch["query_idx"].reshape(B, 1, 1, 1, 1)
+                data["nvs_rgb"] = out["nvs_rgb"]
+                data["nvs_rgb_gt"] = jnp.take_along_axis(
+                    batch["images"], q, axis=1
+                )[:, 0]
             total, _ = loss(data)
             metrics["val_loss"] = total
         return out, metrics
 
-    return jax.jit(eval_step)
+    jitted = jax.jit(eval_step)
+    vgg = getattr(loss, "_perceptual", None)
+    if vgg is None:
+        return jitted
+    vgg_params = vgg.params
+
+    def eval_step_with_vgg(params, batch):
+        batch = dict(batch)
+        batch["_vgg_params"] = vgg_params  # traced arg, not HLO literals
+        return jitted(params, batch)
+
+    return eval_step_with_vgg

@@ -132,10 +132,9 @@ def test_image_psnr_branch_matches_torchmetrics_semantics():
     gt = rng.uniform(0, 1, (3, 16, 16))
     pred = np.clip(gt + rng.normal(0, 0.05, gt.shape), 0, 1)
     val = m.update_image(pred, gt, cat="cam")
-    # torchmetrics PeakSignalNoiseRatio default: data_range = joint
-    # max - min; psnr = 10 log10(range^2 / mse)
-    both = np.concatenate([pred.ravel(), gt.ravel()])
-    want = 10 * np.log10((both.max() - both.min()) ** 2 /
+    # torchmetrics PeakSignalNoiseRatio default: data_range inferred from
+    # the TARGET (target.max() - target.min()); psnr = 10 log10(r^2 / mse)
+    want = 10 * np.log10((gt.max() - gt.min()) ** 2 /
                          np.mean((pred - gt) ** 2))
     assert val == pytest.approx(want, rel=1e-12)
 
