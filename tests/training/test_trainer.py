@@ -136,3 +136,32 @@ def test_checkpoint_best_by_add(fixture_root, tmp_path):
     prev = trainer.ckpt.best
     assert not trainer.ckpt.maybe_save_best(trainer.state, prev - 1.0, mode="max")
     assert trainer.ckpt.maybe_save_best(trainer.state, prev + 1.0, mode="max")
+
+
+def test_fit_with_encode_chunk(fixture_root, tmp_path):
+    """TrainerConfig.encode_chunk: ENGAGES on a single-device mesh
+    (mesh_data=1 under the 8-CPU conftest) and is auto-DISABLED on a
+    multi-device mesh (the B*T reshape would cross shard boundaries);
+    training steps + stays finite either way."""
+    cfg = DatasetConfig(image_size=28, length=3)
+    train_ds = build_dataset("LINEMOD", cfg, "train", root=fixture_root)
+    val_ds = build_dataset("LINEMOD", cfg, "val", root=fixture_root)
+
+    def run(**ov):
+        tcfg = TrainerConfig(
+            max_epochs=2, batch_size=2, num_workers=0,
+            checkpoint_dir=str(tmp_path / "ckpts"),
+            checkpoint_every_n_steps=2, log_every_n_steps=1,
+            mesh_model=1, encode_chunk=2, **ov,  # 2x3=6 imgs -> 3 chunks
+        )
+        trainer = Trainer(
+            BoxDreamer(TINY), Loss(), Loss(),
+            OptimConfig(lr=1e-3, use_warmup=False, scheduler="constant"),
+            tcfg, MetricsConfig(),
+        )
+        state = trainer.fit(train_ds, [val_ds], max_steps=3)
+        assert int(state.step) == 3
+        assert np.isfinite(trainer._history[-1]["loss"])
+
+    run(mesh_data=1)   # single device: chunked encode engages
+    run(mesh_data=-1)  # 8-device mesh: gate falls back to batched encode
