@@ -121,7 +121,8 @@ def main():
 
     from boxdreamer_tpu.models import BETRConfig
 
-    quantize = None if os.environ.get("BENCH_BF16") else "int8"
+    bf16_flag = os.environ.get("BENCH_BF16", "").strip().lower()
+    quantize = None if bf16_flag not in ("", "0", "false", "no") else "int8"
     print(f"serving mode: {'bf16' if quantize is None else quantize}",
           file=sys.stderr, flush=True)
     model = BoxDreamer(BoxDreamerConfig(betr=BETRConfig(quantize=quantize)))

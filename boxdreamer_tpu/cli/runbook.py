@@ -34,7 +34,9 @@ def eval_argv(
     command. ``extra`` may mix ``--option value`` pairs and dotted
     ``key=value`` overrides (the rehearsal adds fixture sizing; mount day
     needs none). Options are ordered before the positional overrides —
-    argparse's greedy positional matching rejects trailing options."""
+    argparse's greedy positional matching rejects trailing options.
+    Contract: every ``--option`` consumes one value token (run.py's CLI
+    has no boolean flags); ``--opt=value`` spellings pass through as-is."""
     options: List[str] = []
     overrides: List[str] = []
     it = iter(extra)

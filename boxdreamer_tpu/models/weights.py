@@ -148,7 +148,9 @@ def convert_betr(
     # mismatch (e.g. a plucker checkpoint into a bb8 config, or a truncated
     # file) surfaces later as a cryptic flax missing-parameter error.
     if cfg.pose_representation == "plucker":
-        required = ["camera_ray_proj"] + (["ray_emb"] if cfg.use_pretrained else [])
+        # ray_emb is read unconditionally by _plucker_forward (our plucker
+        # path is pretrained-tokens-only; betr.py:372).
+        required = ["camera_ray_proj", "ray_emb"]
     else:
         required = ["bbox_proj"] + (["bbox_emb"] if cfg.use_pretrained else [])
     missing = [n for n in required if n not in params]

@@ -247,6 +247,31 @@ def variants(interpret: bool = False):
         [_s(8, 1536, 3 * 8 * 128)] + [_s(D, dtype=jnp.float32)] * 2,
         packed_ref(False), packed_inputs(8, 1536, True))
 
+    # PACKED + INT8 composition — the actual TPU serving default
+    # (models/layers.py Attention quantized packed branch: int8 qkv GEMM
+    # over lane-padded kernels -> packed flash kernel -> int8 output
+    # projection on the Dp-padded stream). The int8 accuracy proxy
+    # (tests/parity/test_int8_accuracy.py) runs on CPU where the packed
+    # gate is off, so THIS is the only numerics check of the composition.
+    # D=96 like the flagship (the 96->128 pad interplay is the point);
+    # tolerance covers two dynamic-int8 GEMMs (~2% each).
+    from boxdreamer_tpu.models import layers as _L
+
+    _attn_mod = _L.Attention(num_heads=2, qk_norm=True, dtype=jnp.bfloat16)
+    _attn_x0 = jnp.zeros((2, 1536, 192), jnp.bfloat16)
+    _attn_params = _attn_mod.init(jax.random.PRNGKey(7), _attn_x0)
+    add(
+        "packed int8 attention module (serving default)",
+        lambda x: _attn_mod.apply(
+            _attn_params, x, allow_packed=True, quantized=True
+        ),
+        [_s(2, 1536, 192)],
+        lambda x: _attn_mod.apply(
+            _attn_params, x, allow_packed=False, quantized=False
+        ),
+        tol=8e-2,
+    )
+
     # prologue-fused matmuls (ops/fused_matmul.py) at flagship block shapes
     from boxdreamer_tpu.ops import fused_matmul as fm
 

@@ -181,6 +181,17 @@ class Loss:
             else:
                 fn = _ELEMENTWISE[term.type]
                 values = fn(pred, gt)
+                if mask is not None and values.shape[: mask.ndim] != mask.shape:
+                    # A (B, T) frame mask cannot weight an image-shaped
+                    # (B, 3, H, W) prediction — broadcasting would silently
+                    # weight CHANNELS when T happens to equal 3. Query-only
+                    # image terms (nvs_rgb) must set mask_key: ''.
+                    raise ValueError(
+                        f"loss term {term.type!r} on {term.pred_key!r}: mask "
+                        f"{mask.shape} does not align with leading dims of "
+                        f"values {values.shape}; set mask_key: '' for "
+                        "query-only image terms"
+                    )
                 if mask is not None:
                     loss = jnp.asarray(0.0, dtype=jnp.float32)
                     if term.weight[0] != 0.0:

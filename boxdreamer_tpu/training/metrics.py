@@ -199,8 +199,12 @@ class Metrics:
         the range comes from the TARGET only (torchmetrics functional psnr:
         ``data_range = target.max() - target.min()`` when unset) — using
         the joint pred+gt range would inflate PSNR whenever the raw linear
-        NVS output exceeds the [0, 1] crop range. No-op unless 'image' is
-        in metrics_list."""
+        NVS output exceeds the [0, 1] crop range. Aggregation is the MEAN
+        of per-image dB values — deliberately: the reference appends each
+        ``self.psnr(...)`` forward-call return (per-image, batch-local
+        range) and np.mean's the list (rgb_metrics :148-158 +
+        aggregate_metrics :647-651), it never reads the torchmetrics
+        global ``.compute()``. No-op unless 'image' is in metrics_list."""
         if "image" not in self.config.metrics_list:
             return None
         p = np.asarray(pred_img, dtype=np.float64)

@@ -242,11 +242,19 @@ class VisUtils:
         self.max_samples = max_samples
         self.samples: List[Dict] = []
         self.batches_seen: set = set()
+        self.dataloaders_seen: set = set()
 
     def batch_allowed(self, batch_id) -> bool:
-        """First ``save_n_batches`` distinct batches contribute samples
-        (reference add_data's dataloader/batch budget)."""
+        """Reference add_data budget (vis_utils.py:66-84): the FIRST batch
+        of every new dataloader always contributes (so a multi-dataset eval
+        shows every dataset), further batches only until save_n_batches
+        total. ``batch_id`` is (dataloader_id, batch_index)."""
         if batch_id in self.batches_seen:
+            return True
+        dl = batch_id[0] if isinstance(batch_id, tuple) else batch_id
+        if dl not in self.dataloaders_seen:
+            self.dataloaders_seen.add(dl)
+            self.batches_seen.add(batch_id)
             return True
         if len(self.batches_seen) >= self.config.save_n_batches:
             return False
@@ -319,3 +327,4 @@ class VisUtils:
     def reset(self):
         self.samples = []
         self.batches_seen = set()
+        self.dataloaders_seen = set()

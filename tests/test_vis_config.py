@@ -69,13 +69,22 @@ def test_scene_type_appends_frustum_panel():
 
 
 def test_save_n_batches_budget():
-    """Only the first save_n_batches distinct batch ids contribute samples
-    (reference VisUtils.add_data budget, vis_utils.py:66-84)."""
+    """Reference VisUtils.add_data budget (vis_utils.py:66-84): first batch
+    of each NEW dataloader always contributes; beyond that only
+    save_n_batches total batches do."""
     vis = VisUtils(max_samples=100, config=VisConfig(save_n_batches=2))
-    for batch_id in range(5):
+    for batch_i in range(5):
         for s in range(3):
-            vis.add_data(**_sample(seed=batch_id * 3 + s), batch_id=batch_id)
-    assert len(vis.samples) == 6  # 2 batches x 3 samples
+            vis.add_data(**_sample(seed=batch_i * 3 + s), batch_id=(0, batch_i))
+    assert len(vis.samples) == 6  # 2 batches x 3 samples of dataloader 0
+
+    # A second dataloader's FIRST batch still contributes even though the
+    # global batch budget is exhausted (multi-dataset eval shows every set).
+    vis.add_data(**_sample(seed=99), batch_id=(1, 0))
+    assert len(vis.samples) == 7
+    vis.add_data(**_sample(seed=100), batch_id=(1, 1))  # budget applies again
+    assert len(vis.samples) == 7
+
     vis.reset()
     assert not vis.samples and not vis.batches_seen
 
