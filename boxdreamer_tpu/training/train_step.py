@@ -50,6 +50,13 @@ def ensure_bbox_feat(batch: Dict[str, jax.Array], model: BoxDreamer) -> Dict:
     return dict(batch, bbox_feat=feat)
 
 
+def gather_query_frame(x: jax.Array, query_idx: jax.Array) -> jax.Array:
+    """Select each row's query-frame slice: (B, T, ...) -> (B, ...)."""
+    B = x.shape[0]
+    q = query_idx.reshape((B, 1) + (1,) * (x.ndim - 2))
+    return jnp.take_along_axis(x, q, axis=1)[:, 0]
+
+
 def scatter_query_prediction(
     bbox_feat: jax.Array, query_pred: jax.Array, camera_mask: jax.Array
 ) -> jax.Array:
@@ -151,16 +158,14 @@ def make_train_step(
 
                 imgs = batch["images"]
                 B_, T_ = imgs.shape[:2]
-                flat = imgs.reshape((B_ * T_,) + imgs.shape[2:])
-                chunks = flat.reshape(
-                    (-1, encode_chunk) + flat.shape[1:]
+                chunks = imgs.reshape(
+                    (-1, encode_chunk) + imgs.shape[2:]
                 )
                 toks = jax.lax.map(
                     lambda c: encoder_apply(model, params, c), chunks
-                )
-                toks = toks.reshape((B_ * T_,) + toks.shape[2:])
+                )  # (n_chunks, chunk, P, C)
                 tokens = jax.lax.stop_gradient(
-                    toks.reshape(B_, T_, toks.shape[1], toks.shape[2])
+                    toks.reshape((B_, T_) + toks.shape[2:])
                 )
             pred = model.apply(
                 params,
@@ -196,13 +201,11 @@ def make_train_step(
             )
             data["camera_mask"] = camera_mask
             if needs_nvs:
-                B = batch["images"].shape[0]
-                q = batch["query_idx"].reshape(B, 1, 1, 1, 1)
                 data["nvs_rgb"] = aux["nvs_rgb"]
                 # GT: the query frame's RGB crop.
-                data["nvs_rgb_gt"] = jnp.take_along_axis(
-                    batch["images"], q, axis=1
-                )[:, 0]
+                data["nvs_rgb_gt"] = gather_query_frame(
+                    batch["images"], batch["query_idx"]
+                )
             if needs_regression_boxes and "bbox_proj_crop" in batch:
                 # Optional keypoint-regression term (reference
                 # calculate_bb8_projections, prediction_utils.py:106-136, and
@@ -264,12 +267,10 @@ def make_eval_step(model: BoxDreamer, loss: Optional[Loss] = None) -> Callable:
             )
             data["camera_mask"] = camera_mask
             if "nvs_rgb" in out:
-                B = batch["images"].shape[0]
-                q = batch["query_idx"].reshape(B, 1, 1, 1, 1)
                 data["nvs_rgb"] = out["nvs_rgb"]
-                data["nvs_rgb_gt"] = jnp.take_along_axis(
-                    batch["images"], q, axis=1
-                )[:, 0]
+                data["nvs_rgb_gt"] = gather_query_frame(
+                    batch["images"], batch["query_idx"]
+                )
             total, _ = loss(data)
             metrics["val_loss"] = total
         return out, metrics
