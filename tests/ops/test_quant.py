@@ -141,3 +141,22 @@ def test_quantized_dinovit_close_to_float():
     y_q = model_q.apply(params, x)
     rel = float(jnp.linalg.norm(y_q - y_f) / jnp.linalg.norm(y_f))
     assert rel < 0.1, rel
+
+
+def test_fused_quantize_rows_matches_xla():
+    """Pallas single-pass row quantize (kept opt-in after losing its A/B —
+    see its docstring) must match the XLA twin to the tie-rounding LSB."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from boxdreamer_tpu.ops import quant
+
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((512, 256)), jnp.bfloat16
+    )
+    q0, s0 = quant.quantize_rows_int8(x)
+    q1, s1 = quant.quantize_rows_int8_fused(x, block_m=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+    d = np.abs(np.asarray(q0, np.int32) - np.asarray(q1, np.int32))
+    assert d.max() <= 1 and (d > 0).mean() < 1e-3  # .5-tie rounding only

@@ -35,6 +35,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--k", type=int, default=K_STEPS)
+    ap.add_argument("--only", default=None,
+                    help="substring filter over config names")
     a = ap.parse_args()
     BATCH, K_STEPS = a.batch, a.k
     from boxdreamer_tpu.models import BoxDreamer, BoxDreamerConfig
@@ -101,13 +103,19 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    from boxdreamer_tpu.ops import quant as _quant
+
     results = {}
-    for name, q, eq in (
-        ("bf16", None, None),
-        ("int8", "int8", None),
-        ("int8_full", "int8", "int8"),  # + encoder blocks quantized
+    for name, q, eq, fused_bm in (
+        ("bf16", None, None, None),
+        ("int8", "int8", None, None),
+        ("int8_fusedq", "int8", None, 256),  # Pallas single-pass act quantize
+        ("int8_full", "int8", "int8", None),  # + encoder blocks quantized
     ):
+        if a.only and name not in a.only.split(","):
+            continue
         print(f"building {name}...", file=sys.stderr, flush=True)
+        _quant.FUSED_QUANTIZE_BLOCK_M = fused_bm
         model, params, refs = build(q, eq)
         t1 = chain_time(model, params, refs, K_STEPS, seed=3)
         t2 = chain_time(model, params, refs, 2 * K_STEPS, seed=9)
@@ -121,6 +129,7 @@ def main():
         }
         print(f"  {name}: {slope:.2f} ms/step = {fps:.1f} FPS",
               file=sys.stderr, flush=True)
+    _quant.FUSED_QUANTIZE_BLOCK_M = None
 
     print(json.dumps({"device": jax.devices()[0].device_kind,
                       "batch": BATCH, "results": results}))
